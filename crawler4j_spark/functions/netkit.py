@@ -1,0 +1,80 @@
+"""Text kernels: URL extraction from plain text, anchor normalization.
+
+* ``extract_urls``: port of the reference's quirky URL regex
+  (``util/Net.java:37-47``) — kept verbatim, including its oddities
+  (``%[a-f\\d{2}]`` character classes containing literal braces, the
+  2-letter-ccTLD alternation, ``www.`` with an unescaped dot). Matches are
+  prefixed with ``http://`` when they don't start with ``http``
+  (``Net.java:25-26``). The reference collects matches into a HashSet of
+  WebURL (dedup by URL string); we return first-occurrence-ordered unique
+  matches so downstream code can both dedup and preserve discovery order.
+* ``normalize_anchor``: ``parser/HtmlContentHandler.java:166-173`` — newlines
+  and tabs to spaces, trim, cap at 100 chars + ``"..."``.
+* ``has_binary_content`` / ``has_plain_text_content``: ``util/Util.java:68-80``.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "extract_urls",
+    "normalize_anchor",
+    "has_binary_content",
+    "has_plain_text_content",
+    "MAX_ANCHOR_LENGTH",
+]
+
+# Verbatim port of Net.java:38-48 (Java and Python regex syntax align here).
+_URL_PATTERN = re.compile(
+    r"\b(((ht|f)tp(s?)\:\/\/|~\/|\/)|www.)"
+    r"(\w+:\w+@)?(([-\w]+\.)+(com|org|net|gov"
+    r"|mil|biz|info|mobi|name|aero|jobs|museum"
+    r"|travel|[a-z]{2}))(:[\d]{1,5})?"
+    r"(((\/([-\w~!$+|.,=]|%[a-f\d]{2})+)+|\/)+|\?|#)?"
+    r"((\?([-\w~!$+|.,*:]|%[a-f\d{2}])+=?"
+    r"([-\w~!$+|.,*:=]|%[a-f\d]{2})*)"
+    r"(&(?:[-\w~!$+|.,*:]|%[a-f\d{2}])+=?"
+    r"([-\w~!$+|.,*:=]|%[a-f\d]{2})*)*)*"
+    r"(#([-\w~!$+|.,*:=]|%[a-f\d]{2})*)?\b"
+)
+
+
+def extract_urls(text: str | None) -> list[str]:
+    """All URL-looking matches in ``text``, ``http://``-prefixed when bare,
+    deduplicated keeping first occurrence (document order)."""
+    if not text:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _URL_PATTERN.finditer(text):
+        url = m.group()
+        if not url.startswith("http"):
+            url = "http://" + url
+        if url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
+MAX_ANCHOR_LENGTH = 100  # HtmlContentHandler.java:31
+
+
+def normalize_anchor(anchor: str | None) -> str:
+    """Whitespace-normalize and cap anchor text; returns '' for None."""
+    if anchor is None:
+        return ""
+    a = anchor.replace("\n", " ").replace("\t", " ").strip()
+    if len(a) > MAX_ANCHOR_LENGTH:
+        a = a[:MAX_ANCHOR_LENGTH] + "..."
+    return a
+
+
+def has_binary_content(content_type: str | None) -> bool:
+    t = (content_type or "").lower()
+    return any(k in t for k in ("image", "audio", "video", "application"))
+
+
+def has_plain_text_content(content_type: str | None) -> bool:
+    t = (content_type or "").lower()
+    return "text" in t and "html" not in t

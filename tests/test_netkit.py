@@ -1,0 +1,47 @@
+from crawler4j_spark.functions.netkit import (
+    extract_urls,
+    has_binary_content,
+    has_plain_text_content,
+    normalize_anchor,
+)
+
+
+def test_extract_basic():
+    urls = extract_urls("see http://example.com/a and https://foo.org/b?x=1 ok")
+    assert "http://example.com/a" in urls
+    assert "https://foo.org/b?x=1" in urls
+
+
+def test_extract_www_prefixed():
+    urls = extract_urls("visit www.example.com today")
+    assert any(u.startswith("http://www.example.com") for u in urls)
+
+
+def test_extract_dedup_first_occurrence_order():
+    urls = extract_urls("http://a.com/x http://b.com/y http://a.com/x")
+    assert urls == ["http://a.com/x", "http://b.com/y"]
+
+
+def test_extract_none_and_empty():
+    assert extract_urls(None) == []
+    assert extract_urls("") == []
+    assert extract_urls("no urls here at all") == []
+
+
+def test_anchor_normalization():
+    assert normalize_anchor("a\nb\tc") == "a b c"
+    assert normalize_anchor("  hi  ") == "hi"
+    assert normalize_anchor(None) == ""
+    long = "x" * 150
+    out = normalize_anchor(long)
+    assert out == "x" * 100 + "..."
+    assert normalize_anchor("y" * 100) == "y" * 100  # boundary: not capped
+
+
+def test_content_type_classifiers():
+    assert has_binary_content("image/png")
+    assert has_binary_content("application/pdf")
+    assert not has_binary_content("text/html")
+    assert has_plain_text_content("text/plain")
+    assert not has_plain_text_content("text/html; charset=UTF-8")
+    assert not has_plain_text_content("application/json")

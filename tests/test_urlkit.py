@@ -1,0 +1,146 @@
+"""Ported 1:1 from the reference's URLCanonicalizerTest.java:10-75 and
+TLDListTest.java:17-44 (every assertEquals pair), plus resolver edge cases."""
+
+import pytest
+
+from crawler4j_spark.functions.urlkit import (
+    canonicalize,
+    resolve_url,
+    split_domain,
+    url_host,
+    url_path,
+)
+
+# (expected, input) — identical order to URLCanonicalizerTest.testCanonizalier
+CANON_VECTORS = [
+    ("http://www.example.com/display?category=foo%2Fbar%2Bbaz",
+     "http://www.example.com/display?category=foo/bar+baz"),
+    ("http://www.example.com/?q=a%2Bb", "http://www.example.com/?q=a+b"),
+    ("http://www.example.com/display?category=foo%2Fbar%2Bbaz",
+     "http://www.example.com/display?category=foo%2Fbar%2Bbaz"),
+    ("http://somedomain.com/uploads/1/0/2/5/10259653/6199347.jpg?1325154037",
+     "http://somedomain.com/uploads/1/0/2/5/10259653/6199347.jpg?1325154037"),
+    ("http://hostname.com/", "http://hostname.com"),
+    ("http://hostname.com/", "http://HOSTNAME.com"),
+    ("http://www.example.com/index.html", "http://www.example.com/index.html?&"),
+    ("http://www.example.com/index.html", "http://www.example.com/index.html?"),
+    ("http://www.example.com/", "http://www.example.com"),
+    ("http://www.example.com/bar.html", "http://www.example.com:80/bar.html"),
+    ("http://www.example.com/index.html?name=test&rame=base",
+     "http://www.example.com/index.html?name=test&rame=base#123"),
+    ("http://www.example.com/~username/", "http://www.example.com/%7Eusername/"),
+    ("http://www.example.com/A/B/index.html", "http://www.example.com//A//B/index.html"),
+    ("http://www.example.com/index.html?x=y", "http://www.example.com/index.html?&x=y"),
+    ("http://www.example.com/a.html", "http://www.example.com/../../a.html"),
+    ("http://www.example.com/a/c/d.html", "http://www.example.com/../a/b/../c/./d.html"),
+    ("http://foo.bar.com/?baz=1", "http://foo.bar.com?baz=1"),
+    ("http://www.example.com/index.html?a=b&c=d&e=f",
+     "http://www.example.com/index.html?&c=d&e=f&a=b"),
+    ("http://www.example.com/index.html?q=a%20b", "http://www.example.com/index.html?q=a b"),
+    ("http://www.example.com/search?height=100%&width=100%",
+     "http://www.example.com/search?width=100%&height=100%"),
+]
+
+
+@pytest.mark.parametrize("expected,url", CANON_VECTORS)
+def test_canonicalizer_vectors(expected, url):
+    assert canonicalize(url) == expected
+
+
+def test_canonicalize_relative_against_context():
+    # final assertion of URLCanonicalizerTest
+    assert canonicalize("?page=2", "http://foo.bar/mydir/myfile") == \
+        "http://foo.bar/mydir/myfile?page=2"
+
+
+def test_canonicalize_invalid():
+    assert canonicalize("mailto:a@b.com") is None
+    assert canonicalize("javascript:void(0)") is None
+    assert canonicalize("nota url") is None
+    assert canonicalize("relative/only.html") is None  # no context
+    assert canonicalize("http://") is None
+    assert canonicalize("http://host:notaport/x") is None
+    # literal space in path -> java new URI(path) throws -> rejected
+    assert canonicalize("http://x.com/a b.html") is None
+
+
+def test_canonicalize_more_relative():
+    assert canonicalize("b.html", "http://x.com/a/a.html") == "http://x.com/a/b.html"
+    assert canonicalize("/b.html", "http://x.com/a/a.html") == "http://x.com/b.html"
+    assert canonicalize("../up.html", "http://x.com/a/b/c.html") == "http://x.com/a/up.html"
+    assert canonicalize("//other.com/z", "https://x.com/a") == "https://other.com/z"
+    assert canonicalize("", "http://x.com/a/a.html") == "http://x.com/a/a.html"
+    assert canonicalize("#frag", "http://x.com/a/a.html") == "http://x.com/a/a.html"
+
+
+def test_session_id_params_stripped():
+    assert canonicalize("http://x.com/p?JSESSIONID=abc&x=1") == "http://x.com/p?x=1"
+    assert canonicalize("http://x.com/p?phpsessid=abc") == "http://x.com/p"
+    assert canonicalize("http://x.com/p;jsessionid=abc") == "http://x.com/p;jsessionid=abc"
+
+
+def test_default_port_only_for_matching_scheme():
+    assert canonicalize("https://x.com:443/a") == "https://x.com/a"
+    assert canonicalize("https://x.com:80/a") == "https://x.com:80/a"
+    assert canonicalize("http://x.com:8080/a") == "http://x.com:8080/a"
+
+
+# --- TLDListTest.java:17-44, via canonicalize → split_domain -------------
+
+TLD_VECTORS = [
+    ("http://example.com", "example.com", ""),
+    ("http://test.example.com", "example.com", "test"),
+    ("http://test2.test.example.com", "example.com", "test2.test"),
+    ("http://test3.test2.test.example.com", "example.com", "test3.test2.test"),
+    ("http://www.example.ac.jp", "example.ac.jp", "www"),
+    ("http://example.ac.jp", "example.ac.jp", ""),
+]
+
+
+@pytest.mark.parametrize("url,domain,sub", TLD_VECTORS)
+def test_tld_split(url, domain, sub):
+    canon = canonicalize(url)
+    assert canon is not None
+    d, s, _ = split_domain(canon)
+    assert d == domain
+    assert s == sub
+
+
+def test_split_domain_no_trailing_slash():
+    # WebURLTest.testNoLastSlash: must not crash
+    split_domain("http://google.com")
+
+
+def test_split_domain_path_and_port():
+    d, s, p = split_domain("http://a.b.example.com/x/y?q=1")
+    assert (d, s, p) == ("example.com", "a.b", "/x/y")
+    # port stays inside the authority walk, as in the reference
+    d, s, p = split_domain("http://example.com:8080/x")
+    assert p == "/x"
+
+
+def test_resolver_rfc1808():
+    base = "http://a/b/c/d;p?q#f"
+    # a sample of RFC1808 §5.1 normal examples
+    assert resolve_url(base, "g") == "http://a/b/c/g"
+    assert resolve_url(base, "./g") == "http://a/b/c/g"
+    assert resolve_url(base, "g/") == "http://a/b/c/g/"
+    assert resolve_url(base, "/g") == "http://a/g"
+    assert resolve_url(base, "//g") == "http://g"
+    assert resolve_url(base, "?y") == "http://a/b/c/d;p?y"
+    assert resolve_url(base, "g?y") == "http://a/b/c/g?y"
+    assert resolve_url(base, ";x") == "http://a/b/c/d;x"
+    assert resolve_url(base, "g;x") == "http://a/b/c/g;x"
+    assert resolve_url(base, ".") == "http://a/b/c/"
+    assert resolve_url(base, "..") == "http://a/b/"
+    assert resolve_url(base, "../g") == "http://a/b/g"
+    assert resolve_url(base, "../../g") == "http://a/g"
+    assert resolve_url(base, "") == "http://a/b/c/d;p?q#f"
+
+
+def test_host_and_path_helpers():
+    assert url_host("http://WWW.Example.COM:8080/a/b?c") == "www.example.com"
+    assert url_host("http://u:p@x.com/a") == "x.com"
+    assert url_path("http://x.com/a/b?c=1") == "/a/b"
+    assert url_path("http://x.com") == ""
+    assert url_path("http://x.com/p;jsessionid=1?x=2") == "/p;jsessionid=1"
