@@ -1,0 +1,128 @@
+"""Vectorized pandas/Arrow UDFs wrapping the pure-Python kernels.
+
+Per ``BASELINE.json.input_hint`` every row-wise computation runs as an
+Arrow-batched pandas UDF (one Python call per batch, never Spark's
+row-at-a-time ``F.udf``). The kernels themselves live in ``urlkit``/
+``robots``/``spans``/``netkit`` so the reference simulator and the Spark
+engine share one executable definition of the semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import urlkit
+from .robots import arrays_allow, directives_to_arrays, parse_robots
+
+__all__ = [
+    "canonicalize_udf",
+    "canonicalize_with_context_udf",
+    "host_udf",
+    "path_udf",
+    "domain_split_udf",
+    "robots_allow_udf",
+    "parse_robots_udf_factory",
+    "DOMAIN_STRUCT",
+]
+
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """URLCanonicalizer.getCanonicalURL(url) — null for invalid URLs."""
+    return urls.map(lambda u: urlkit.canonicalize(u) if u is not None else None)
+
+
+@F.pandas_udf(StringType())
+def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+    out = [
+        urlkit.canonicalize(h, c) if h is not None else None
+        for h, c in zip(hrefs, contexts)
+    ]
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    """Politeness/robots key: lowercased host, falling back to the full URL
+    string when unparseable (PageFetcher.java:219,236-239)."""
+    return urls.map(lambda u: (urlkit.url_host(u) or u) if u is not None else None)
+
+
+@F.pandas_udf(StringType())
+def path_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlkit.url_path(u) if u is not None else None)
+
+
+DOMAIN_STRUCT = StructType([
+    StructField("domain", StringType()),
+    StructField("subdomain", StringType()),
+    StructField("path", StringType()),
+])
+
+
+@F.pandas_udf(DOMAIN_STRUCT)
+def domain_split_udf(urls: pd.Series) -> pd.DataFrame:
+    """WebURL.setURL derived fields (registrable domain via public-suffix
+    subset broadcast inside the batch)."""
+    rows = [urlkit.split_domain(u) if u is not None else (None, None, None)
+            for u in urls]
+    return pd.DataFrame(rows, columns=["domain", "subdomain", "path"])
+
+
+@F.pandas_udf(BooleanType())
+def robots_allow_udf(
+    paths: pd.Series,
+    gen_dis: pd.Series, gen_alw: pd.Series,
+    spec_dis: pd.Series, spec_alw: pd.Series,
+) -> pd.Series:
+    """RobotstxtServer.allows over joined robots_rules arrays; hosts with no
+    robots row (null arrays) allow everything."""
+    out = []
+    for p, gd, ga, sd, sa in zip(paths, gen_dis, gen_alw, spec_dis, spec_alw):
+        if gd is None and sd is None and ga is None and sa is None:
+            out.append(True)
+            continue
+        out.append(
+            arrays_allow(
+                list(gd or []), list(ga or []), list(sd or []), list(sa or []),
+                p if p is not None else "",
+            )
+        )
+    return pd.Series(out)
+
+
+ROBOTS_RULES_STRUCT = StructType([
+    StructField("gen_disallow", ArrayType(StringType())),
+    StructField("gen_allow", ArrayType(StringType())),
+    StructField("spec_disallow", ArrayType(StringType())),
+    StructField("spec_allow", ArrayType(StringType())),
+])
+
+
+def parse_robots_udf_factory(user_agent: str = "crawler4j",
+                             ignore_ua_in_allow: bool = False):
+    """Robots-body → sorted prefix arrays, as a pandas UDF (S9/X4)."""
+
+    @F.pandas_udf(ROBOTS_RULES_STRUCT)
+    def parse_udf(bodies: pd.Series) -> pd.DataFrame:
+        rows = []
+        for body in bodies:
+            if body is None:
+                rows.append(([], [], [], []))
+            else:
+                gen, spec = parse_robots(body, user_agent, ignore_ua_in_allow)
+                rows.append(directives_to_arrays(gen, spec))
+        return pd.DataFrame(
+            rows,
+            columns=["gen_disallow", "gen_allow", "spec_disallow", "spec_allow"],
+        )
+
+    return parse_udf

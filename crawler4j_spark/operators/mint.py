@@ -1,0 +1,67 @@
+"""Deterministic distributed docid minting (J1's hard part, SURVEY §7).
+
+The reference mints docids under a global mutex in arrival order
+(``frontier/DocIDServer.java:87-99``). The engine reproduces the exact same
+numbering without any global sort or single-partition window:
+
+1. the mint key is (process_seq, within_order) — the order in which the
+   reference would have first sighted each URL (parent's politeness-greedy
+   processing position, then first-occurrence document order within the page);
+2. rows are assigned to P range buckets with a *deterministic* formula on
+   process_seq (no sampling — ``repartitionByRange`` samples and is therefore
+   not reproducible across cluster sizes);
+3. each bucket computes local row numbers independently (window partitioned
+   by the bucket — parallel, no shuffle beyond the bucket exchange);
+4. bucket row-counts (a P-row aggregate) become prefix-sum offsets, joined
+   back broadcast.
+
+``docid = base + offset[bucket] + local_rank`` is identical for any P,
+which is what makes the crawl deterministic from 1 to 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["mint_docids"]
+
+
+def mint_docids(
+    fresh: DataFrame,      # candidate rows: url, process_seq, within_order, ...
+    base_docid: int,
+    max_seq: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Adds ``docid`` numbered base+1, base+2, ... in (process_seq,
+    within_order) order."""
+    df = fresh.withColumn(
+        "mint_bucket",
+        F.floor((F.col("process_seq") - 1) * n_buckets / F.lit(max(max_seq, 1)))
+        .cast("int"),
+    )
+    w = Window.partitionBy("mint_bucket").orderBy("process_seq", "within_order")
+    df = df.withColumn("local_rank", F.row_number().over(w))
+
+    counts = (
+        df.groupBy("mint_bucket").count().orderBy("mint_bucket").collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["mint_bucket"]] = acc
+        acc += r["count"]
+    spark = fresh.sparkSession
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()] or [(0, 0)],
+        "mint_bucket int, bucket_offset long",
+    )
+    return (
+        df.join(F.broadcast(off_df), "mint_bucket", "left")
+        .withColumn(
+            "docid",
+            F.lit(base_docid)
+            + F.coalesce(F.col("bucket_offset"), F.lit(0))
+            + F.col("local_rank"),
+        )
+        .drop("mint_bucket", "local_rank", "bucket_offset")
+    )

@@ -1,0 +1,503 @@
+"""CrawlEngine: the PySpark-native frontier + fetch-scheduler round loop.
+
+One crawl *round* is the set-oriented equivalent of the reference's
+per-thread claim/fetch/parse/schedule loop (``WebCrawler.java:271-497``,
+SURVEY §3.2):
+
+    claimed    = frontier head by (priority, min(depth,127), docid)   # S3/O1
+    slotted    = per-host politeness slots + process order            # O3/O4
+    fetched    = claimed ⋈ corpus on url (simulated fetch)            # S5
+    candidates = parse spans / text-regex, junk filter, canonicalize,
+                 within-page first-occurrence dedup, outlink cap      # F1-F3,J2,O5
+    redirects  = 3xx targets, raw, same depth                         # §4 item 7
+    fresh      = candidates bloom-prefiltered ⊳ anti-join seen        # J1
+    minted     = docids in (process_seq, within_order) order          # J1
+    admitted   = depth gate ∧ shouldVisit ∧ robots ∧ max-pages        # F5,F7,F8
+    commit     : seen += minted; frontier := frontier − claimed + admitted;
+                 documents += visited; metrics += counters; blooms update;
+                 host politeness carry + clock + docid HWM → snapshot props
+
+Every commit is one atomic snapshot (sources/tableio.py), so a killed run
+resumes from the last committed round exactly (tested in test_resume.py).
+
+All row-wise logic is Arrow-batched pandas UDFs sharing kernels with the
+reference simulator; everything else is DataFrame ops Catalyst can optimize.
+Scale levers: hash-bucketed seen + per-bucket bloom sidecar (no global
+mutex — the shuffle IS the lock, SURVEY §4 P6), deterministic mint buckets,
+broadcast robots/host-state joins, file-stat-pruned frontier claims.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import urlkit
+from ..functions.udfs import (
+    canonicalize_udf,
+    host_udf,
+    parse_robots_udf_factory,
+    path_udf,
+    robots_allow_udf,
+)
+from ..operators.mint import mint_docids
+from ..operators.parse import extract_candidates
+from ..operators.politeness import assign_slots, new_host_carry
+from ..operators.seen_filter import (
+    split_new_vs_maybe_seen,
+    update_blooms,
+    with_bucket,
+)
+from ..sources.tableio import SnapshotStore
+from .refsim import PAGE_TOO_BIG, REDIRECT_CODES, SimConfig
+
+__all__ = ["CrawlEngine", "EngineConfig"]
+
+
+SPAN_TYPE = ArrayType(StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+]))
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("docid", LongType()),
+    StructField("parent_docid", LongType()),
+    StructField("parent_url", StringType()),
+    StructField("seed_docid", LongType()),
+    StructField("depth", IntegerType()),
+    StructField("priority", IntegerType()),
+    StructField("anchor", StringType()),
+    StructField("tag", StringType()),
+    StructField("host", StringType()),
+])
+
+SEEN_SCHEMA = "url string, docid long, bucket int"
+
+
+@dataclass
+class EngineConfig:
+    """SimConfig (reference CrawlConfig mirror) + engine scale knobs."""
+
+    sim: SimConfig = None                  # type: ignore[assignment]
+    round_size: int = 25                   # claim K per round (= batch×par)
+    n_seen_buckets: int = 64               # url_hash buckets for seen/bloom
+    expected_urls_per_bucket: int = 200_000
+    mint_buckets: int = 32
+    should_visit_pattern: str | None = None  # regex gate (F4), None = all
+
+    def __post_init__(self) -> None:
+        if self.sim is None:
+            self.sim = SimConfig()
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        corpus_df: DataFrame | None = None,
+        robots_df: DataFrame | None = None,
+        config: EngineConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = config or EngineConfig()
+        self.store = SnapshotStore(store_path, spark)
+        self._parse_robots_udf = parse_robots_udf_factory(self.cfg.sim.user_agent)
+
+        props = self.store.props
+        if corpus_df is not None:
+            if "corpus" not in self.store.manifest()["tables"]:
+                entries = self.store.stage_dataframe(
+                    corpus_df.repartition(max(spark.sparkContext.defaultParallelism, 4),
+                                          "doc_id")
+                )
+                self.store.commit(replaces={"corpus": entries})
+        if robots_df is not None and "robots_rules" not in self.store.manifest()["tables"]:
+            rules = robots_df.withColumn(
+                "rules", self._parse_robots_udf(F.col("body"))
+            ).select(
+                "host",
+                F.col("rules.gen_disallow").alias("gen_disallow"),
+                F.col("rules.gen_allow").alias("gen_allow"),
+                F.col("rules.spec_disallow").alias("spec_disallow"),
+                F.col("rules.spec_allow").alias("spec_allow"),
+            )
+            self.store.commit(replaces={"robots_rules": self.store.stage_dataframe(rules)})
+
+        # scalar checkpoint state
+        self.round = int(props.get("round", 0))
+        self.last_docid = int(props.get("last_docid", 0))
+        self.scheduled_pages = int(props.get("scheduled_pages", 0))
+        self.processed_pages = int(props.get("processed_pages", 0))
+        self.clock = int(props.get("clock", 0))
+
+    # ------------------------------------------------------------------ io
+
+    def _read(self, table: str) -> DataFrame | None:
+        return self.store.read(table)
+
+    def corpus(self) -> DataFrame:
+        df = self._read("corpus")
+        assert df is not None, "corpus table missing"
+        return df
+
+    # ---------------------------------------------------------------- seeds
+
+    def add_seeds(self, seeds: list[dict]) -> list[int]:
+        """CrawlController.addSeed semantics, batched before round 0
+        (S1/S2). ``seeds``: [{url, priority, doc_id_override}] in order.
+        Returns the assigned docids (−1 for rejected), driver-side — the
+        seed list is tiny relative to the frontier."""
+        robots = self._read("robots_rules")
+        robots_map: dict[str, tuple] = {}
+        if robots is not None and self.cfg.sim.robots_enabled:
+            for r in robots.collect():
+                robots_map[r["host"]] = (
+                    list(r["gen_disallow"]), list(r["gen_allow"]),
+                    list(r["spec_disallow"]), list(r["spec_allow"]),
+                )
+        from ..functions.robots import arrays_allow
+
+        seen_urls: dict[str, int] = {}
+        seen_df = self._read("seen")
+        if seen_df is not None:
+            for r in seen_df.collect():  # warm-start path; tiny in round 0
+                seen_urls[r["url"]] = r["docid"]
+
+        results: list[int] = []
+        rows: list[tuple] = []
+        new_seen: list[tuple[str, int]] = []
+        for s in seeds:
+            canon = urlkit.canonicalize(s["url"])
+            if canon is None:
+                results.append(-1)
+                continue
+            override = s.get("doc_id_override")
+            if override is None or override < 0:
+                if canon in seen_urls:
+                    results.append(-1)
+                    continue
+                self.last_docid += 1
+                docid = self.last_docid
+            else:
+                if canon in seen_urls or override <= self.last_docid:
+                    results.append(-1)
+                    continue
+                docid = override
+                self.last_docid = docid
+            seen_urls[canon] = docid
+            new_seen.append((canon, docid))
+            if self.cfg.sim.robots_enabled and not self.cfg.sim.ignore_robots_for_seed:
+                host = urlkit.url_host(canon)
+                if host in robots_map and not arrays_allow(
+                    *robots_map[host], urlkit.url_path(canon)
+                ):
+                    results.append(-1)
+                    continue
+            if self.cfg.sim.max_pages < 0 or self.scheduled_pages < self.cfg.sim.max_pages:
+                rows.append((canon, docid, -1, None, docid, 0,
+                             int(s.get("priority", 0)), "", "",
+                             urlkit.url_host(canon) or canon))
+                self.scheduled_pages += 1
+            results.append(docid)
+
+        adds = {}
+        if new_seen:
+            seen_delta = with_bucket(
+                self.spark.createDataFrame(new_seen, "url string, docid long"),
+                "url", self.cfg.n_seen_buckets,
+            )
+            if rows:
+                frontier_delta = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+                adds["frontier"] = self.store.stage_dataframe(
+                    frontier_delta, stats_cols=["priority", "depth", "docid"])
+            adds["seen"] = self.store.stage_dataframe(seen_delta)
+            blooms = update_blooms(
+                seen_delta, self._read("seen_bloom"),
+                self.cfg.n_seen_buckets, self.cfg.expected_urls_per_bucket)
+            new_blooms = self.store.stage_dataframe(blooms)
+            self.store.commit(
+                adds=adds,
+                replaces={"seen_bloom": new_blooms},
+                props=self._props(),
+            )
+        return results
+
+    # ---------------------------------------------------------------- round
+
+    def frontier_pending(self) -> int:
+        return self.store.row_count("frontier")
+
+    def run_round(self) -> dict:
+        """Execute one crawl round; returns round metrics. No-op ({}) when
+        the frontier is empty (termination condition, SURVEY §2.8)."""
+        t0 = time.time()
+        cfg, sim = self.cfg, self.cfg.sim
+        head_files, _rest = self.store.files_overlapping_head(
+            "frontier", ["priority", "depth", "docid"], cfg.round_size)
+        frontier_head = self.store.read("frontier", files=head_files)
+        if frontier_head is None:
+            return {}
+        claimed = (
+            frontier_head
+            .orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
+            .limit(cfg.round_size)
+        )
+
+        # --- politeness slots + process order (O1-O4) ---
+        slotted = assign_slots(
+            claimed, self._read("host_state"), self.clock, sim.politeness_ms)
+        claimed_entries = self.store.stage_dataframe(
+            slotted, stats_cols=["docid"])
+        slotted = self.store.read("frontier_claimed_tmp", files=claimed_entries)
+        n_claimed = sum(e["rows"] for e in claimed_entries)
+        if n_claimed == 0:
+            return {}
+        self.round += 1
+
+        # --- simulated fetch: claimed ⋈ corpus (S5) ---
+        fetched = slotted.join(self.corpus(),
+                               slotted.url == F.col("doc_id"), "left")
+
+        # --- redirect targets (raw, same depth — WebCrawler.java:399-430) ---
+        redirect_cands = (
+            fetched
+            .filter(F.col("status_code").isin(list(REDIRECT_CODES))
+                    & F.col("redirect_to").isNotNull())
+            .select(
+                F.col("redirect_to").alias("url"),
+                F.lit("").alias("tag"),
+                F.col("anchor"),
+                F.lit(-1).alias("within_order"),
+                F.col("parent_docid"),
+                F.col("parent_url"),
+                F.col("seed_docid"),
+                # target keeps the redirected URL's depth (WebCrawler.java:418)
+                # and skips the depth gate: parent_depth = depth-1 < max_depth
+                # holds for any schedulable cur, so the shared gate is vacuous
+                (F.col("depth") - 1).alias("parent_depth"),
+                F.col("process_seq"),
+            )
+        ) if sim.follow_redirects else None
+
+        # --- parse 200-pages (F1-F3, J2, O5, X2) ---
+        ok_pages = fetched.filter(
+            (F.col("status_code") == 200)
+            & (F.col("content_length") <= sim.max_download_size)
+        )
+        outlink_cands = extract_candidates(
+            ok_pages, sim.max_outlinks, sim.include_binary)
+
+        candidates = outlink_cands
+        if redirect_cands is not None:
+            candidates = candidates.unionByName(redirect_cands)
+
+        # --- round-local first-sight dedup then seen anti-join (J1) ---
+        from pyspark.sql import Window
+
+        w_first = Window.partitionBy("url").orderBy("process_seq", "within_order")
+        candidates = (
+            candidates.withColumn("rn", F.row_number().over(w_first))
+            .filter(F.col("rn") == 1).drop("rn")
+        )
+        candidates = with_bucket(candidates, "url", cfg.n_seen_buckets)
+        candidates = split_new_vs_maybe_seen(candidates, self._read("seen_bloom"))
+
+        seen = self._read("seen")
+        if seen is not None:
+            maybe = candidates.filter(F.col("maybe_seen"))
+            definite = candidates.filter(~F.col("maybe_seen"))
+            survived = maybe.join(
+                seen.select("url", "bucket"), ["url", "bucket"], "left_anti")
+            fresh = definite.unionByName(survived).drop("maybe_seen")
+        else:
+            fresh = candidates.drop("maybe_seen")
+
+        # --- mint docids in arrival order (J1 hard part) ---
+        minted = mint_docids(fresh, self.last_docid, n_claimed, cfg.mint_buckets)
+        minted_entries = self.store.stage_dataframe(minted)
+        minted = self.store.read("minted_tmp", files=minted_entries)
+        n_minted = sum(e["rows"] for e in minted_entries)
+
+        # --- gates: depth (F7), shouldVisit (F4), robots (F5/F6/J4) ---
+        admissible = minted.withColumn("depth", F.col("parent_depth") + 1)
+        if sim.max_depth != -1:
+            admissible = admissible.filter(F.col("parent_depth") < sim.max_depth)
+        if cfg.should_visit_pattern is not None:
+            admissible = admissible.filter(
+                F.col("url").rlike(cfg.should_visit_pattern))
+        admissible = admissible.withColumn("host", host_udf(F.col("url")))
+        robots = self._read("robots_rules")
+        if robots is not None and sim.robots_enabled:
+            admissible = (
+                admissible.join(F.broadcast(robots), "host", "left")
+                .withColumn("rpath", path_udf(F.col("url")))
+                .filter(robots_allow_udf(
+                    F.col("rpath"), F.col("gen_disallow"), F.col("gen_allow"),
+                    F.col("spec_disallow"), F.col("spec_allow")))
+                .drop("rpath", "gen_disallow", "gen_allow",
+                      "spec_disallow", "spec_allow")
+            )
+
+        # --- max-pages admission in mint order (F8) ---
+        if sim.max_pages > 0:
+            budget = max(sim.max_pages - self.scheduled_pages, 0)
+            admissible = (
+                admissible.orderBy("docid").limit(budget)
+            )
+        admitted = admissible.select(
+            "url", "docid", "parent_docid", "parent_url", "seed_docid",
+            F.col("depth").cast("int"),
+            F.lit(0).alias("priority"),  # outlinks always priority 0
+            "anchor", "tag", "host",
+        )
+        admitted_entries = self.store.stage_dataframe(
+            admitted, stats_cols=["priority", "depth", "docid"])
+        n_admitted = sum(e["rows"] for e in admitted_entries)
+
+        # --- visited documents (S7): status-200, parse-allowed pages ---
+        visited = ok_pages.filter(
+            ~F.lower(F.col("content_type")).rlike("image|audio|video|application")
+            | F.lit(sim.include_binary)
+        ).select(
+            F.col("url"), F.col("docid"), F.col("depth"),
+            F.col("seed_docid"), F.col("process_seq"),
+            F.lit(self.round).alias("round"),
+            F.col("content_type"), F.col("spans"),
+        )
+        visited_entries = self.store.stage_dataframe(visited)
+        n_visited = sum(e["rows"] for e in visited_entries)
+
+        # --- politeness carry + clock advance ---
+        carry = new_host_carry(slotted, self.clock, sim.politeness_ms)
+        max_eff = slotted.agg(F.max("eff_time")).collect()[0][0] or 0
+        old_state = self._read("host_state")
+        if old_state is not None:
+            # keep future entries of hosts not fetched this round
+            carry = (
+                old_state.join(carry.select("host"), "host", "left_anti")
+                .filter(F.col("next_time") >= self.clock)   # prune expired
+                .unionByName(carry)
+            )
+        host_entries = self.store.stage_dataframe(carry)
+        new_clock = self.clock + int(max_eff)
+
+        # --- seen delta + bloom update ---
+        seen_delta = minted.select("url", "docid", "bucket")
+        seen_entries = self.store.stage_dataframe(seen_delta)
+        bloom_new = update_blooms(
+            seen_delta, self._read("seen_bloom"),
+            cfg.n_seen_buckets, cfg.expected_urls_per_bucket)
+        bloom_entries = self.store.stage_dataframe(bloom_new)
+
+        # --- frontier: drop claimed rows (file-pruned rewrite) ---
+        claimed_ids = slotted.select("docid")
+        frontier_files = self.store.table_files("frontier")
+        # only head files can contain claimed rows; rewrite those
+        head_paths = {e["path"] for e in head_files}
+        survivors = self.store.read(
+            "frontier", files=[e for e in frontier_files if e["path"] in head_paths])
+        new_head_entries: list[dict] = []
+        if survivors is not None:
+            remaining = survivors.join(claimed_ids, "docid", "left_anti")
+            new_head_entries = self.store.stage_dataframe(
+                remaining, stats_cols=["priority", "depth", "docid"])
+        untouched = [e for e in frontier_files if e["path"] not in head_paths]
+        frontier_entries = untouched + new_head_entries + admitted_entries
+
+        # --- metrics (A1/A2) with per-partition lineage ---
+        n_errors = n_claimed - n_visited
+        self.processed_pages += n_claimed
+        self.scheduled_pages += n_admitted
+        self.last_docid += n_minted
+        metrics_rows = [
+            (self.round, "scheduled_pages", n_admitted),
+            (self.round, "processed_pages", n_claimed),
+            (self.round, "minted_docids", n_minted),
+            (self.round, "visited_pages", n_visited),
+            (self.round, "error_pages", n_errors),
+        ]
+        metrics_df = self.spark.createDataFrame(
+            metrics_rows, "round int, counter string, value long")
+        metrics_entries = self.store.stage_dataframe(metrics_df)
+
+        self.clock = new_clock
+        self.store.commit(
+            adds={
+                "seen": seen_entries,
+                "documents": visited_entries,
+                "metrics": metrics_entries,
+            },
+            replaces={
+                "frontier": frontier_entries,
+                "seen_bloom": bloom_entries,
+                "host_state": host_entries,
+            },
+            props=self._props(),
+            lineage={
+                "round": self.round,
+                "claimed_files": [e["path"] for e in claimed_entries],
+                "minted_files": [e["path"] for e in minted_entries],
+                "head_files_rewritten": sorted(head_paths),
+                "n_claimed": n_claimed,
+                "n_minted": n_minted,
+                "n_admitted": n_admitted,
+            },
+        )
+        return {
+            "round": self.round,
+            "claimed": n_claimed,
+            "minted": n_minted,
+            "admitted": n_admitted,
+            "visited": n_visited,
+            "pending": self.frontier_pending(),
+            "wall_sec": time.time() - t0,
+        }
+
+    def _props(self) -> dict:
+        return {
+            "round": self.round,
+            "last_docid": self.last_docid,
+            "scheduled_pages": self.scheduled_pages,
+            "processed_pages": self.processed_pages,
+            "clock": self.clock,
+        }
+
+    def crawl(self, max_rounds: int = 10_000) -> list[dict]:
+        out = []
+        while self.frontier_pending() > 0 and len(out) < max_rounds:
+            m = self.run_round()
+            if not m:
+                break
+            out.append(m)
+        return out
+
+    # ------------------------------------------------------------- results
+
+    def visited_log(self):
+        """Visited pages ordered by (round, process_seq) — the engine's
+        crawl order for parity checks."""
+        docs = self._read("documents")
+        if docs is None:
+            return None
+        return docs.orderBy("round", "process_seq")
+
+    def seen_map(self) -> dict[str, int]:
+        seen = self._read("seen")
+        if seen is None:
+            return {}
+        return {r["url"]: r["docid"] for r in seen.select("url", "docid").collect()}

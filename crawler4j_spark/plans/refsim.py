@@ -248,7 +248,9 @@ class RefSim:
         std = self.cfg.politeness_ms
         for h in [h for h, t in self.next_fetch_times.items() if t < self.now]:
             del self.next_fetch_times[h]
-        host = url_host(url)
+        # PageFetcher.java:219,236-239: the politeness key falls back to the
+        # full URL string when the host cannot be parsed
+        host = url_host(url) or url
         target = self.next_fetch_times.get(host, self.now)
         delay = max(target - self.now, 0)
         self.next_fetch_times[host] = target + std

@@ -1,0 +1,236 @@
+"""SnapshotStore: Iceberg-style atomic multi-table snapshot commits on Parquet.
+
+No iceberg-spark runtime jar ships in this sandbox (SURVEY §7), so the engine
+codes against this thin adapter with the same semantics an Iceberg catalog
+would give it:
+
+* a *snapshot* is an immutable manifest (JSON) listing, per table, the data
+  files that make up the table plus per-file column stats (min/max) for
+  file pruning;
+* a *commit* atomically replaces the current-snapshot pointer
+  (``os.replace`` of the ``_current`` file — atomic on POSIX), after the new
+  manifest and all new data files are fully written. A crashed run leaves the
+  previous snapshot intact: staged files are unreferenced garbage, never
+  visible — this is what makes every crawl round exactly-once resumable;
+* commits can add files to a table, remove files (e.g. claimed frontier
+  files), or replace the table wholesale;
+* manifest ``props`` carry the engine's scalar checkpoint state (round id,
+  docid high-water mark, politeness clock, ...) with per-round lineage.
+
+At 10^10-row scale the frontier table is bucketed so a claim only rewrites
+the files whose (priority, depth, docid) min/max range overlaps the head of
+the queue; ``files_overlapping_head`` implements that pruning using the
+per-file stats recorded at write time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotStore"]
+
+
+class SnapshotStore:
+    def __init__(self, root: str, spark: SparkSession) -> None:
+        self.root = root
+        self.spark = spark
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if not os.path.exists(self._current_path):
+            self._write_manifest({"version": 0, "tables": {}, "props": {}},
+                                 first=True)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def manifest(self) -> dict:
+        with open(self._current_path) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, "_manifests", name)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict, first: bool = False) -> None:
+        name = f"manifest-{m['version']:08d}.json"
+        path = os.path.join(self.root, "_manifests", name)
+        with open(path, "w") as f:
+            json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._current_path)  # the atomic commit point
+
+    @property
+    def props(self) -> dict:
+        return self.manifest().get("props", {})
+
+    # -- reading -----------------------------------------------------------
+
+    def table_files(self, table: str) -> list[dict]:
+        return self.manifest().get("tables", {}).get(table, {}).get("files", [])
+
+    def read(self, table: str, files: Optional[list[dict]] = None) -> Optional[DataFrame]:
+        """DataFrame over the table's current snapshot (or a file subset);
+        None when the table is empty/absent."""
+        entries = self.table_files(table) if files is None else files
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def row_count(self, table: str) -> int:
+        return sum(e.get("rows", 0) for e in self.table_files(table))
+
+    def files_overlapping_head(
+        self, table: str, key_cols: list[str], limit_rows: int
+    ) -> tuple[list[dict], list[dict]]:
+        """Split a key-sorted table's files into (head, rest): the minimal
+        stats-ordered prefix of files guaranteed to contain the global first
+        ``limit_rows`` rows by ``key_cols``. Files without stats always land
+        in the head (safe)."""
+        entries = self.table_files(table)
+
+        def lo(e):
+            s = e.get("stats") or {}
+            return tuple(
+                s.get(c, [None, None])[0] if s.get(c, [None])[0] is not None
+                else float("-inf")
+                for c in key_cols
+            )
+
+        ordered = sorted(entries, key=lo)
+        head, rest, acc = [], [], 0
+        for e in ordered:
+            if acc < limit_rows:
+                head.append(e)
+                acc += e.get("rows", 0)
+            else:
+                rest.append(e)
+        # any file whose min key sorts below the max key already accepted
+        # would also be needed; since files are min-sorted the prefix rule
+        # above over-approximates only when ranges overlap — add overlaps
+        if head and rest:
+            hmax = None
+            for e in head:
+                s = e.get("stats") or {}
+                hi = tuple(
+                    s.get(c, [None, None])[1] if s.get(c, [None, None])[1] is not None
+                    else float("inf")
+                    for c in key_cols
+                )
+                hmax = hi if hmax is None or hi > hmax else hmax
+            extra = [e for e in rest if lo(e) <= hmax]
+            rest = [e for e in rest if e not in extra]
+            head.extend(extra)
+        return head, rest
+
+    # -- writing -----------------------------------------------------------
+
+    def stage_dataframe(
+        self, df: DataFrame, stats_cols: Optional[list[str]] = None
+    ) -> list[dict]:
+        """Write ``df`` to new data files; return manifest entries (not yet
+        committed). Computes per-file row counts and min/max stats for
+        ``stats_cols`` from the Parquet footers (no extra scan)."""
+        import pyarrow.parquet as pq
+
+        stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(stage)
+        entries = []
+        for fn in sorted(os.listdir(stage)):
+            if not fn.endswith(".parquet"):
+                continue
+            final_name = f"data/{uuid.uuid4().hex}.parquet"
+            src = os.path.join(stage, fn)
+            dst = os.path.join(self.root, final_name)
+            shutil.move(src, dst)
+            meta = pq.ParquetFile(dst).metadata
+            stats: dict[str, list] = {}
+            if stats_cols:
+                idx = {name: i for i, name in enumerate(meta.schema.names)}
+                for c in stats_cols:
+                    if c not in idx:
+                        continue
+                    mins, maxs = [], []
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            mins, maxs = [], []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if mins:
+                        stats[c] = [min(mins), max(maxs)]
+            entries.append({"path": final_name, "rows": meta.num_rows,
+                            "stats": stats})
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def commit(
+        self,
+        adds: Optional[dict[str, list[dict]]] = None,
+        removes: Optional[dict[str, list[dict]]] = None,
+        replaces: Optional[dict[str, list[dict]]] = None,
+        props: Optional[dict] = None,
+        lineage: Optional[dict] = None,
+    ) -> int:
+        """Atomically publish a new snapshot. ``adds``/``removes``/``replaces``
+        map table → staged manifest entries (from ``stage_dataframe``).
+        Returns the new snapshot version."""
+        m = self.manifest()
+        tables = {t: {"files": list(v.get("files", []))}
+                  for t, v in m.get("tables", {}).items()}
+        for t, entries in (replaces or {}).items():
+            tables[t] = {"files": list(entries)}
+        for t, entries in (removes or {}).items():
+            keep = {e["path"] for e in entries}
+            cur = tables.get(t, {"files": []})["files"]
+            tables[t] = {"files": [e for e in cur if e["path"] not in keep]}
+        for t, entries in (adds or {}).items():
+            cur = tables.setdefault(t, {"files": []})["files"]
+            cur.extend(entries)
+        new_props = dict(m.get("props", {}))
+        if props:
+            new_props.update(props)
+        new = {
+            "version": m["version"] + 1,
+            "tables": tables,
+            "props": new_props,
+            "committed_at": time.time(),
+            "lineage": lineage or {},
+        }
+        self._write_manifest(new)
+        return new["version"]
+
+    def gc_unreferenced(self) -> int:
+        """Delete data files not referenced by the current snapshot (crash
+        leftovers). Returns the number of files removed."""
+        referenced = {
+            e["path"]
+            for t in self.manifest().get("tables", {}).values()
+            for e in t.get("files", [])
+        }
+        removed = 0
+        data_dir = os.path.join(self.root, "data")
+        for fn in os.listdir(data_dir):
+            rel = f"data/{fn}"
+            if rel not in referenced:
+                os.remove(os.path.join(data_dir, fn))
+                removed += 1
+        shutil.rmtree(os.path.join(self.root, "_staging"), ignore_errors=True)
+        os.makedirs(os.path.join(self.root, "_staging"), exist_ok=True)
+        return removed
