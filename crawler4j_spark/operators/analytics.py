@@ -1,0 +1,1044 @@
+"""Query registry for the driver contract (__spark_entry__).
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data pipeline operators (dedup / similarity / text analysis /
+multimodal). Each entry pairs an idiomatic-Spark implementation
+``fn(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) an
+equivalent DuckDB oracle SQL string over the same parquet tables. The
+driver runs both and compares row-count + schema + value-hash — this is
+the correctness gate; pytest (tests/test_entry.py) runs the same
+comparison in-repo.
+
+Conventions that make the hash-compare sound:
+* every computed column aliased identically on both sides;
+* float outputs rounded to 6 dp on both sides;
+* deterministic total ordering where LIMIT is involved (explicit
+  tie-break columns).
+
+Crawl-operator analogs derive a synthetic frontier from the ``orders``
+table with pure arithmetic (docid := o_orderkey, priority := o_orderkey%7-3,
+depth := o_custkey%12, host := 'h'||o_orderkey%40) so both engines see the
+identical input, while exercising exactly the Spark plan shapes the real
+engine uses (ordered claim, anti-join dedup, window slots, mint numbering).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic frontier from orders (same derivation as the oracle CTE)."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("docid"),
+        (F.col("o_orderkey") % 7 - 2).cast("int").alias("priority"),
+        (F.col("o_custkey") % 12).cast("int").alias("depth"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 40)).alias("host"),
+        F.col("o_custkey").alias("seed_docid"),
+    )
+
+
+_FRONTIER_CTE = """
+WITH frontier AS (
+  SELECT o_orderkey AS docid,
+         CAST(o_orderkey % 7 - 2 AS INT) AS priority,
+         CAST(o_custkey % 12 AS INT) AS depth,
+         'h' || CAST(o_orderkey % 40 AS VARCHAR) AS host,
+         o_custkey AS seed_docid
+  FROM orders
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Crawl-operator analogs (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+@register("frontier_claim", _FRONTIER_CTE + """
+SELECT docid, priority, depth, host
+FROM frontier
+ORDER BY priority, LEAST(depth, 127), docid
+LIMIT 100
+""")
+def q_frontier_claim(spark, sf_dir):
+    """S3/O1/O2: destructive ordered claim = ORDER BY (priority, min(depth,127),
+    docid) LIMIT K. Catalyst plans TakeOrderedAndProject — no full sort.
+    Ref: frontier/WorkQueues.java:86-133,196-209."""
+    return (
+        _frontier(spark, sf_dir)
+        .orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
+        .select("docid", "priority", "depth", "host")
+        .limit(100)
+    )
+
+
+@register("politeness_slots", _FRONTIER_CTE + """
+, claimed AS (
+  SELECT * FROM frontier ORDER BY priority, LEAST(depth,127), docid LIMIT 1000
+)
+SELECT docid, host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY priority, LEAST(depth,127), docid) AS BIGINT) AS slot,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY priority, LEAST(depth,127), docid) - 1) * 200 AS BIGINT)
+            AS eff_time
+FROM claimed
+""")
+def q_politeness_slots(spark, sf_dir):
+    """O3/O4: per-host politeness slots as a window over the claimed batch
+    (order-equivalent to PageFetcher.getBestURL's greedy loop).
+    Ref: fetcher/PageFetcher.java:173-261."""
+    claimed = (
+        _frontier(spark, sf_dir)
+        .orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
+        .limit(1000)
+    )
+    w = Window.partitionBy("host").orderBy(
+        "priority", F.least(F.col("depth"), F.lit(127)), "docid")
+    return claimed.select(
+        "docid", "host",
+        F.row_number().over(w).cast("long").alias("slot"),
+        ((F.row_number().over(w) - 1) * 200).cast("long").alias("eff_time"),
+    )
+
+
+@register("docid_mint", _FRONTIER_CTE + """
+, claimed AS (
+  SELECT * FROM frontier ORDER BY priority, LEAST(depth,127), docid LIMIT 1000
+)
+SELECT docid AS old_docid,
+       CAST(1000000 + ROW_NUMBER() OVER (
+           ORDER BY priority, LEAST(depth,127), docid) AS BIGINT) AS minted_docid
+FROM claimed
+""")
+def q_docid_mint(spark, sf_dir):
+    """J1 (hard part): arrival-order docid minting = dense numbering over the
+    discovery order; the engine's distributed version is operators/mint.py.
+    Ref: frontier/DocIDServer.java:87-99."""
+    claimed = (
+        _frontier(spark, sf_dir)
+        .orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
+        .limit(1000)
+    )
+    w = Window.orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
+    return claimed.select(
+        F.col("docid").alias("old_docid"),
+        (F.lit(1000000) + F.row_number().over(w)).cast("long").alias("minted_docid"),
+    )
+
+
+@register("seen_antijoin", """
+SELECT DISTINCT l_orderkey AS url_key
+FROM lineitem
+WHERE l_partkey % 3 = 0
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+""")
+def q_seen_antijoin(spark, sf_dir):
+    """J1: URL-seen dedup as a LEFT ANTI join (the engine adds a bloom
+    pre-filter; operators/seen_filter.py). Ref: DocIDServer.java:87-99."""
+    cand = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 3 == 0)
+        .select(F.col("l_orderkey").alias("url_key"))
+        .distinct()
+    )
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("url_key"))
+    )
+    return cand.join(seen, "url_key", "left_anti")
+
+
+@register("frontier_key_dedup", """
+SELECT DISTINCT CAST(l_orderkey % 50 AS INT) AS priority,
+       CAST(l_linenumber AS INT) AS depth,
+       CAST(l_partkey % 1000 AS BIGINT) AS docid
+FROM lineitem
+""")
+def q_frontier_key_dedup(spark, sf_dir):
+    """J3: frontier key dedup on (priority, depth, docid).
+    Ref: frontier/WorkQueues.java:222-229."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") % 50).cast("int").alias("priority"),
+            F.col("l_linenumber").cast("int").alias("depth"),
+            (F.col("l_partkey") % 1000).cast("long").alias("docid"),
+        )
+        .distinct()
+    )
+
+
+@register("seed_offspring", _FRONTIER_CTE + """
+SELECT seed_docid, CAST(COUNT(*) AS BIGINT) AS offspring
+FROM frontier GROUP BY seed_docid
+""")
+def q_seed_offspring(spark, sf_dir):
+    """J5: per-seed live offspring accounting (seed-end events fire when the
+    count reaches 0). Ref: frontier/WorkQueues.java:135-183."""
+    return (
+        _frontier(spark, sf_dir)
+        .groupBy("seed_docid")
+        .agg(F.count("*").alias("offspring"))
+    )
+
+
+@register("depth_gate", _FRONTIER_CTE + """
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n
+FROM frontier WHERE depth < 6 GROUP BY depth
+""")
+def q_depth_gate(spark, sf_dir):
+    """F7: max-depth gate as a pushed-down filter.
+    Ref: crawler/WebCrawler.java:466-479."""
+    return (
+        _frontier(spark, sf_dir)
+        .filter(F.col("depth") < 6)
+        .groupBy("depth")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("max_pages_admission", _FRONTIER_CTE + """
+SELECT docid, priority, depth
+FROM frontier
+ORDER BY priority, LEAST(depth,127), docid
+LIMIT 500
+""")
+def q_max_pages_admission(spark, sf_dir):
+    """F8: max-pages admission = arrival-ordered LIMIT against the remaining
+    budget. Ref: frontier/Frontier.java:86-129."""
+    return (
+        _frontier(spark, sf_dir)
+        .orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
+        .select("docid", "priority", "depth")
+        .limit(500)
+    )
+
+
+@register("counters_rollup", """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_counters_rollup(spark, sf_dir):
+    """A1/A3: durable counters → partial-agg rollup (map-side combine; the
+    engine's metrics table). Ref: frontier/Counters.java:84-119,
+    examples/localdata/LocalDataCollectorCrawler.java:46-66."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register("queue_length", """
+SELECT CASE WHEN o_orderstatus = 'O' THEN 'pending'
+            WHEN o_orderstatus = 'P' THEN 'in_progress'
+            ELSE 'processed' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""")
+def q_queue_length(spark, sf_dir):
+    """A2: queue length by status — implementing the *intended* BOTH_QUEUES
+    semantics (the fork's getQueueLength() always returns 0: WORK_QUEUE &
+    IN_PROGRESS_QUEUE == 0, Frontier.java:207-209 — documented deviation)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderstatus") == "O", "pending")
+            .when(F.col("o_orderstatus") == "P", "in_progress")
+            .otherwise("processed").alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-backed crawl functions (F1/F11/X5/F9/F5) — Spark side runs the real
+# pandas-UDF kernels; the oracle reconstructs the expected output with string
+# arithmetic valid on this restricted, deterministically-built URL family.
+# ---------------------------------------------------------------------------
+
+
+def _url_family(spark, sf_dir):
+    """Deterministic raw URLs from part: uppercase host, unsorted query with
+    a session-id param, dot-segment path — all canonicalizer-relevant."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("http://HOST"), (F.col("p_partkey") % 20).cast("string"),
+            F.lit(".Example.COM/a/../item/"),
+            F.regexp_replace(F.col("p_name"), " ", "-"),
+            F.lit("?b=2&a=1&jsessionid=ABC"),
+        ).alias("raw_url"),
+    )
+
+
+@register("url_canonicalize", """
+SELECT p_partkey,
+       'http://host' || CAST(p_partkey % 20 AS VARCHAR) || '.example.com/item/'
+         || REPLACE(p_name, ' ', '-') || '?a=1&b=2' AS canonical_url
+FROM part
+""")
+def q_url_canonicalize(spark, sf_dir):
+    """F1/F2: URL canonicalization (lowercase host, ../ fold, query sort,
+    session-id strip) via the vectorized kernel UDF.
+    Ref: url/URLCanonicalizer.java:43-210, url/UrlResolver.java:81-390."""
+    from ..functions.udfs import canonicalize_udf
+
+    return _url_family(spark, sf_dir).select(
+        "p_partkey", canonicalize_udf(F.col("raw_url")).alias("canonical_url"))
+
+
+@register("domain_split", """
+SELECT p_partkey,
+       'host' || CAST(p_partkey % 20 AS VARCHAR) || '.example.com' AS full_host,
+       'example.com' AS domain,
+       'host' || CAST(p_partkey % 20 AS VARCHAR) AS subdomain
+FROM part
+""")
+def q_domain_split(spark, sf_dir):
+    """F11: registrable-domain/subdomain split (public-suffix aware).
+    Ref: url/WebURL.java:117-153."""
+    from ..functions.udfs import canonicalize_udf, domain_split_udf, host_udf
+
+    fam = _url_family(spark, sf_dir).select(
+        "p_partkey", canonicalize_udf(F.col("raw_url")).alias("url"))
+    return fam.select(
+        "p_partkey",
+        host_udf(F.col("url")).alias("full_host"),
+        domain_split_udf(F.col("url")).alias("ds"),
+    ).select(
+        "p_partkey", "full_host",
+        F.col("ds.domain").alias("domain"),
+        F.col("ds.subdomain").alias("subdomain"),
+    )
+
+
+@register("anchor_normalize", """
+WITH raw AS (
+  SELECT p_partkey,
+         p_name || ' ' || p_name || ' ' || p_name || ' ' || p_name || ' ' || p_name AS a
+  FROM part
+), norm AS (
+  SELECT p_partkey,
+         TRIM(REPLACE(REPLACE(a, CHR(10), ' '), CHR(9), ' ')) AS a
+  FROM raw
+)
+SELECT p_partkey,
+       CASE WHEN LENGTH(a) > 100 THEN SUBSTR(a, 1, 100) || '...' ELSE a END AS anchor
+FROM norm
+""")
+def q_anchor_normalize(spark, sf_dir):
+    """X5: anchor whitespace-normalization + 100-char cap via the kernel.
+    Ref: parser/HtmlContentHandler.java:31,166-173."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import StringType
+
+    from ..functions.netkit import normalize_anchor
+
+    @F.pandas_udf(StringType())
+    def norm_udf(s: pd.Series) -> pd.Series:
+        return s.map(normalize_anchor)
+
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        norm_udf(F.concat_ws(
+            " ", "p_name", "p_name", "p_name", "p_name", "p_name"))
+        .alias("anchor"),
+    )
+
+
+@register("content_type_dispatch", """
+SELECT ctype,
+       CASE WHEN LOWER(ctype) LIKE '%image%' OR LOWER(ctype) LIKE '%audio%'
+              OR LOWER(ctype) LIKE '%video%' OR LOWER(ctype) LIKE '%application%'
+            THEN 'binary'
+            WHEN LOWER(ctype) LIKE '%text%' AND LOWER(ctype) NOT LIKE '%html%'
+            THEN 'text'
+            ELSE 'html' END AS dispatch,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT CASE p_partkey % 5
+             WHEN 0 THEN 'text/html; charset=UTF-8'
+             WHEN 1 THEN 'text/plain'
+             WHEN 2 THEN 'image/png'
+             WHEN 3 THEN 'application/pdf'
+             ELSE 'TEXT/HTML' END AS ctype
+      FROM part)
+GROUP BY 1, 2
+""")
+def q_content_type_dispatch(spark, sf_dir):
+    """F9/X3: binary vs plain-text vs HTML dispatch.
+    Ref: util/Util.java:68-80, parser/Parser.java:59-93."""
+    ctype = (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.when(F.col("p_partkey") % 5 == 0, "text/html; charset=UTF-8")
+            .when(F.col("p_partkey") % 5 == 1, "text/plain")
+            .when(F.col("p_partkey") % 5 == 2, "image/png")
+            .when(F.col("p_partkey") % 5 == 3, "application/pdf")
+            .otherwise("TEXT/HTML").alias("ctype"))
+    )
+    low = F.lower(F.col("ctype"))
+    return (
+        ctype.withColumn(
+            "dispatch",
+            F.when(
+                low.contains("image") | low.contains("audio")
+                | low.contains("video") | low.contains("application"), "binary")
+            .when(low.contains("text") & ~low.contains("html"), "text")
+            .otherwise("html"))
+        .groupBy("ctype", "dispatch")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("robots_prefix_gate", """
+SELECT path,
+       NOT (path LIKE '/private/%' OR path = '/private' OR path LIKE '/tmp%')
+           AS allowed
+FROM (SELECT CASE p_partkey % 4
+             WHEN 0 THEN '/private/' || REPLACE(p_name, ' ', '-')
+             WHEN 1 THEN '/tmp-' || CAST(p_partkey AS VARCHAR)
+             WHEN 2 THEN '/public/' || CAST(p_partkey AS VARCHAR)
+             ELSE '/' END AS path
+      FROM part)
+""")
+def q_robots_prefix_gate(spark, sf_dir):
+    """F5/F6: robots minimal-prefix allow decision via the real kernel against
+    a fixed exact-UA ruleset {Disallow: /private/, Disallow: /tmp}; the oracle
+    states the same decision as LIKE-prefix logic.
+    Ref: robotstxt/RuleSet.java:28-52, RobotstxtServer.java:79."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import BooleanType
+
+    from ..functions.robots import parse_robots, robots_allows
+
+    body = "User-agent: crawler4j\nDisallow: /private/\nDisallow: /tmp*\n"
+
+    @F.pandas_udf(BooleanType())
+    def allow_udf(paths: pd.Series) -> pd.Series:
+        gen, spec = parse_robots(body, "crawler4j")
+        return paths.map(lambda p: robots_allows(gen, spec, p))
+
+    paths = _t(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 4 == 0,
+               F.concat(F.lit("/private/"),
+                        F.regexp_replace("p_name", " ", "-")))
+        .when(F.col("p_partkey") % 4 == 1,
+              F.concat(F.lit("/tmp-"), F.col("p_partkey").cast("string")))
+        .when(F.col("p_partkey") % 4 == 2,
+              F.concat(F.lit("/public/"), F.col("p_partkey").cast("string")))
+        .otherwise("/").alias("path"))
+    return paths.select("path", allow_udf(F.col("path")).alias("allowed"))
+
+
+@register("text_url_extract", None)  # kernel regex has no SQL equivalent
+def q_text_url_extract(spark, sf_dir):
+    """X2: quirky URL regex extraction from plain text (rows-only check; the
+    Java-regex port is unit-tested in tests/test_netkit.py).
+    Ref: util/Net.java:19-48."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..functions.netkit import extract_urls
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def extract_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(extract_urls)
+
+    docs = _t(spark, sf_dir, "documents")
+    with_urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("see http://example"),
+                 (F.col("doc_id") % 25).cast("string"),
+                 F.lit(".com/x and also "), F.col("text")).alias("text"))
+    return with_urls.select(
+        "doc_id", extract_udf(F.col("text")).alias("urls"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over documents / embeddings / events.
+# These are first-class engine components for the 100 TB use case: dedup
+# (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup),
+# similarity search (brute-force + LSH-bucketed ANN), text analysis, and
+# multimodal binary plumbing.
+# ---------------------------------------------------------------------------
+
+
+def _tokens(spark, sf_dir, max_doc=None):
+    """(doc_id, tok, pos) via posexplode — shared by the text pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+
+
+# DuckDB equivalent of posexplode(split(text,' ')): fixed-range lateral
+_TOKENS_CTE = """
+WITH idx AS (SELECT UNNEST(RANGE(0, 256)) AS pos),
+toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents {where}
+),
+tokens AS (
+  SELECT doc_id, tl[pos + 1] AS tok, pos
+  FROM toks JOIN idx ON pos < LEN(tl)
+)
+"""
+
+_SHINGLES_CTE = """
+, shingles AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM tokens
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+)
+"""
+
+
+def _shingles(spark, sf_dir, max_doc=None):
+    """3-token shingles in document order (both dedup families share this)."""
+    toks = _tokens(spark, sf_dir, max_doc)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
+    )
+
+
+@register("dedup_exact", """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeping the smallest doc_id per content
+    hash (map-side partial agg; at 100 TB this is one shuffle on the hash)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register("dedup_minhash_lsh",
+          _TOKENS_CTE.format(where="") + _SHINGLES_CTE + """
+, salts AS (SELECT UNNEST(RANGE(0, 8)) AS salt),
+mh AS (
+  SELECT doc_id, salt,
+         MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM shingles CROSS JOIN salts
+  GROUP BY doc_id, salt
+),
+bands AS (
+  SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+         STRING_AGG(minhash, '' ORDER BY salt) AS bucket_sig
+  FROM mh GROUP BY doc_id, CAST(salt // 2 AS INT)
+)
+SELECT band, bucket_sig,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc
+FROM bands GROUP BY band, bucket_sig
+""")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 8 salted minhashes → 4 bands × 2 rows
+    → band-bucket grouping. Buckets with n_docs ≥ 2 are candidate near-dup
+    sets; the string-minhash (min over md5 hex ordering) is engine-portable.
+    At scale the band join replaces the O(n²) pairwise comparison."""
+    sh = _shingles(spark, sf_dir)
+    salts = spark.range(8).select(F.col("id").cast("int").alias("salt"))
+    mh = (
+        sh.crossJoin(F.broadcast(salts))
+        .groupBy("doc_id", "salt")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("salt").cast("string"),
+                                     F.col("shingle")))).alias("minhash"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("salt") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
+                        lambda s: s["minhash"]), "").alias("bucket_sig"))
+    )
+    return (
+        bands.groupBy("band", "bucket_sig")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+@register("dedup_simhash",
+          _TOKENS_CTE.format(where="WHERE doc_id < 200") + """
+, toksd AS (SELECT DISTINCT doc_id, tok FROM tokens),
+hashed AS (
+  SELECT doc_id, ('0x' || SUBSTR(md5(tok), 1, 4))::INT AS h FROM toksd
+),
+bits AS (SELECT UNNEST(RANGE(0, 16)) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 << CAST(bit AS INT) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM votes GROUP BY doc_id
+""")
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit) per document over distinct tokens: majority vote per
+    bit of the token hashes. Near-dups share low-Hamming signatures; the
+    signature is grouping-key material at scale (no pairwise pass)."""
+    toks = _tokens(spark, sf_dir, max_doc=200).select("doc_id", "tok").distinct()
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h"))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        hashed.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1)
+            .otherwise(-1)).alias("v"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)"))
+            .otherwise(0)).cast("long").alias("simhash"))
+    )
+
+
+@register("dedup_ngram_jaccard",
+          _TOKENS_CTE.format(where="WHERE doc_id < 60") + _SHINGLES_CTE + """
+, sets AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_both AS DOUBLE) / (sa.sz + sb.sz - n_both), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+""")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle —
+    the shared-shingle join bounds the pair space (vs O(n²)); at 100 TB the
+    join key is a shingle hash and hot shingles are salted."""
+    sets = _shingles(spark, sf_dir, max_doc=60).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_both").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_both")), 6)
+            .alias("jaccard"))
+    )
+
+
+# --- similarity search over embeddings -------------------------------------
+
+
+def _dot(a, b):
+    """JVM-side dot product: zip_with + aggregate (no Python in the loop)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register("embedding_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv)
+             / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * SQRT(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 20
+""")
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast the query vector,
+    JVM-side zip_with/aggregate dot products, TakeOrderedAndProject top-k.
+    The scale path is the LSH-bucketed variant (ann_lsh_buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6)
+            .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(20)
+    )
+
+
+@register("embedding_neardup", """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 150 AND b.vec_id < 150
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.5
+""")
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.5) over a bounded id
+    range — the exact check LSH candidates feed into at scale."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = (_dot(F.col("ea"), F.col("eb"))
+           / (F.sqrt(_dot(F.col("ea"), F.col("ea")))
+              * F.sqrt(_dot(F.col("eb"), F.col("eb")))))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > 0.5)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+@register("ann_lsh_buckets", """
+WITH planes AS (
+  SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+signs AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+                  THEN 1 << CAST(p.plane_id - 1 AS INT) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(vec_id) AS min_vec
+FROM signs GROUP BY bucket
+""")
+def q_ann_lsh_buckets(spark, sf_dir):
+    """LSH-bucketed ANN (scale path): 8 hyperplane sign bits → 256 buckets;
+    search = probe the query's bucket (and neighbors) only. Hyperplanes are
+    taken deterministically from the data (vec_id 1..8) to stay hermetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select(F.col("vec_id").alias("plane_id"),
+                F.col("embedding").alias("pv"))
+    )
+    signs = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(F.sum(
+            F.when(_dot(F.col("embedding"), F.col("pv")) > 0,
+                   F.expr("shiftleft(1, cast(plane_id - 1 as int))"))
+            .otherwise(0)).alias("bucket"))
+    )
+    return (
+        signs.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register("lang_id_heuristic", """
+SELECT doc_id, lang AS tagged_lang,
+       CAST((LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS BIGINT)
+           AS the_count,
+       CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 >= 3
+            THEN 'en-heavy'
+            WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 >= 1
+            THEN 'en-some'
+            ELSE 'other' END AS guessed
+FROM documents
+""")
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic (stopword-frequency n-gram signal) — the X6
+    analog, engine-portable arithmetic only."""
+    the_cnt = ((F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit(""))))
+               / 5).cast("long")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("tagged_lang"),
+        the_cnt.alias("the_count"),
+        F.when(the_cnt >= 3, "en-heavy")
+        .when(the_cnt >= 1, "en-some")
+        .otherwise("other").alias("guessed"),
+    )
+
+
+@register("quality_score", """
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6) AS avg_token_len,
+       ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+             + LEAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) / 8.0,
+                     1.0) * 0.5, 6) AS quality
+FROM documents
+""")
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: length + token-shape features combined into
+    [0,1] — the pre-training filter stage, pure JVM arithmetic."""
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = spaces + 1
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+    avg_len = chars / n_tokens
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(
+            F.least(F.length("text").cast("double") / 400.0, F.lit(1.0)) * 0.5
+            + F.least(avg_len / 8.0, F.lit(1.0)) * 0.5, 6).alias("quality"),
+    )
+
+
+@register("token_count", """
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting (BPE-proxy budget accounting)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register("token_topn", _TOKENS_CTE.format(where="") + """
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM tokens GROUP BY tok
+ORDER BY n DESC, tok LIMIT 50
+""")
+def q_token_topn(spark, sf_dir):
+    """Corpus token frequency top-N (vocabulary building): explode + count +
+    top-k with deterministic tie-break."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok").limit(50)
+    )
+
+
+@register("doc_fingerprint",
+          _TOKENS_CTE.format(where="") + _SHINGLES_CTE + """
+SELECT d.doc_id, md5(d.text) AS content_hash,
+       COALESCE(s.min_shingle_hash, '') AS min_shingle_hash
+FROM documents d
+LEFT JOIN (SELECT doc_id, MIN(md5(shingle)) AS min_shingle_hash
+           FROM shingles GROUP BY doc_id) s
+ON d.doc_id = s.doc_id
+""")
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content hash + rolling min-shingle hash
+    (the k=1 minhash) — a cheap near-dup prefilter key."""
+    docs = _t(spark, sf_dir, "documents")
+    minsh = (
+        _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
+    )
+    return (
+        docs.join(minsh, "doc_id", "left")
+        .select(
+            "doc_id", F.md5("text").alias("content_hash"),
+            F.coalesce("min_shingle_hash", F.lit("")).alias("min_shingle_hash"))
+    )
+
+
+# --- events (streaming analogs) --------------------------------------------
+
+
+@register("events_tumbling", """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation (the Structured-Streaming windowed-agg
+    shape, batch-evaluated): 1h windows by event_type."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long").alias("window_start"),
+            "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+@register("events_sessionize", """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 OR
+                   LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, SUM(new_session) OVER
+         (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id
+""")
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — the applyInPandasWithState
+    custom-stateful-operator shape, batch-evaluated with windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+               > 1800), 1).otherwise(0))
+    wcum = (Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wcum))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+@register("event_props_json", """
+SELECT json_extract_string(props, '$.k') AS k, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""")
+def q_event_props_json(spark, sf_dir):
+    """Semi-structured props extraction (typed metadata column pattern)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.get_json_object("props", "$.k").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- multimodal binary plumbing ---------------------------------------------
+
+
+@register("multimodal_decode", """
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
+       CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 480 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents
+""")
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: an opaque binary payload column flows through an
+    Arrow-batched mapInPandas "decode" returning typed image metadata. The
+    decode itself is a deterministic STUB (no image libs in this container,
+    SURVEY out-of-scope note) — the Spark-side schema/partitioning/batch
+    shape is the real, tested part; a real decoder drops into `fake_decode`."""
+    from typing import Iterator
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+    from pyspark.sql.types import StringType as _Str
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ])
+
+    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+        # deterministic stand-in for PIL/libav decode
+        n = len(payload)
+        return n % 640 + 1, (n * 7) % 480 + 1, 3
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                w, h, c = fake_decode(payload)
+                rows.append((r.doc_id, len(payload), w, h, c))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "channels"])
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return docs.mapInPandas(decode, out_schema)

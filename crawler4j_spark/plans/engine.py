@@ -315,6 +315,11 @@ class CrawlEngine:
             .filter(F.col("rn") == 1).drop("rn")
         )
         candidates = with_bucket(candidates, "url", cfg.n_seen_buckets)
+        # stage once: the candidate set feeds the bloom probe, the anti-join
+        # AND the dedup-throughput metric without recomputing the parse
+        cand_entries = self.store.stage_dataframe(candidates)
+        candidates = self.store.read("candidates_tmp", files=cand_entries)
+        n_deduped = sum(e["rows"] for e in cand_entries)
         candidates = split_new_vs_maybe_seen(candidates, self._read("seen_bloom"))
 
         seen = self._read("seen")
@@ -430,6 +435,7 @@ class CrawlEngine:
             (self.round, "minted_docids", n_minted),
             (self.round, "visited_pages", n_visited),
             (self.round, "error_pages", n_errors),
+            (self.round, "deduped_candidates", n_deduped),
         ]
         metrics_df = self.spark.createDataFrame(
             metrics_rows, "round int, counter string, value long")
@@ -461,6 +467,7 @@ class CrawlEngine:
         return {
             "round": self.round,
             "claimed": n_claimed,
+            "deduped": n_deduped,
             "minted": n_minted,
             "admitted": n_admitted,
             "visited": n_visited,
