@@ -1,0 +1,85 @@
+"""Exactly-once resume (SURVEY §5.4): a run killed between rounds — with
+leftover uncommitted staging garbage, as after a mid-round crash — resumes
+from the last committed snapshot and finishes byte-identical to an
+uninterrupted run."""
+
+import os
+
+import pytest
+
+from crawler4j_spark.plans.engine import CrawlEngine, EngineConfig
+from crawler4j_spark.plans.refsim import SimConfig
+from crawler4j_spark.sources.corpus import CorpusSpec, generate_corpus
+from tests.conftest import make_corpus_dfs
+
+
+def _cfg():
+    return EngineConfig(
+        sim=SimConfig(max_depth=3, politeness_ms=200),
+        round_size=25, n_seen_buckets=8,
+        expected_urls_per_bucket=2000, mint_buckets=4)
+
+
+@pytest.mark.slow
+def test_kill_and_resume_identical(spark, tmp_path):
+    gen = generate_corpus(CorpusSpec(n_pages=100, n_hosts=5, seed=77))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+
+    # uninterrupted reference run
+    full = CrawlEngine(spark, str(tmp_path / "full"), corpus_df, robots_df, _cfg())
+    full.add_seeds(gen.seeds)
+    full.crawl(max_rounds=200)
+
+    # interrupted run: 3 rounds, then "crash"
+    eng_a = CrawlEngine(spark, str(tmp_path / "resume"), corpus_df, robots_df, _cfg())
+    eng_a.add_seeds(gen.seeds)
+    for _ in range(3):
+        eng_a.run_round()
+    # simulate a crash mid-round-4: orphan staged data + stale tmp pointer
+    data_dir = tmp_path / "resume" / "data"
+    (data_dir / "deadbeef-orphan.parquet").write_bytes(b"not a parquet file")
+    (tmp_path / "resume" / "_current.tmp-crashed").write_text("bogus")
+
+    # fresh engine object on the same store — no corpus/robots re-supply
+    eng_b = CrawlEngine(spark, str(tmp_path / "resume"), config=_cfg())
+    assert eng_b.round == 3
+    removed = eng_b.store.gc_unreferenced()
+    assert removed >= 1  # the orphan is swept
+    eng_b.crawl(max_rounds=200)
+
+    # identical terminal state
+    assert eng_b.seen_map() == full.seen_map()
+    assert eng_b.last_docid == full.last_docid
+    assert eng_b.scheduled_pages == full.scheduled_pages
+    assert eng_b.processed_pages == full.processed_pages
+    assert eng_b.clock == full.clock
+
+    va = [(r["url"], r["docid"], r["depth"])
+          for r in full.visited_log().select("url", "docid", "depth").collect()]
+    vb = [(r["url"], r["docid"], r["depth"])
+          for r in eng_b.visited_log().select("url", "docid", "depth").collect()]
+    assert va == vb
+
+    # frontier fully drained in both
+    assert full.frontier_pending() == 0
+    assert eng_b.frontier_pending() == 0
+
+
+@pytest.mark.slow
+def test_snapshot_isolation_under_failed_commit(spark, tmp_path):
+    """A snapshot pointer flip is the only commit point: staged-but-
+    uncommitted files must never be visible to reads."""
+    gen = generate_corpus(CorpusSpec(n_pages=60, n_hosts=4, seed=99))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    eng = CrawlEngine(spark, str(tmp_path / "s"), corpus_df, robots_df, _cfg())
+    eng.add_seeds(gen.seeds)
+    eng.run_round()
+    before = eng.store.manifest()["version"]
+    seen_before = eng.store.row_count("seen")
+    # stage a dataframe but never commit it
+    orphan = spark.range(100).selectExpr(
+        "cast(id as string) url", "id docid", "cast(id % 8 as int) bucket")
+    eng.store.stage_dataframe(orphan)
+    assert eng.store.manifest()["version"] == before
+    assert eng.store.row_count("seen") == seen_before
+    assert eng.store.gc_unreferenced() >= 1
