@@ -42,35 +42,35 @@ HEADLINE = [
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 # frontier bench corpus knobs (deterministic; cached as parquet)
-BENCH_SPEC = dict(seed=1234, n_hosts=64, n_pages=120_000, zipf_s=1.1,
-                  fanout=8, frac_missing_target=0.02)
-ROUND_SIZE = 6000
-MAX_ROUNDS = 12
+BENCH_SPEC = dict(seed=1234, n_hosts=128, n_pages=400_000, zipf_s=1.1,
+                  fanout=10)
+N_SEEDS = 12_000        # every ~33rd URL — the crawl must cover the corpus
+ROUND_SIZE = 100_000
+MAX_ROUNDS = 8
+CRAWL_DEPTH = 8
 
 
 def _corpus_parquet(spark):
-    """Generate-once (seeded) corpus parquet for the frontier bench."""
-    from tests.conftest import make_corpus_dfs
-
-    from crawler4j_spark.sources.corpus import CorpusSpec, generate_corpus
+    """Generate-once (seeded, Spark-parallel) corpus parquet for the
+    frontier bench. Per-row deterministic: identical at any parallelism."""
+    from crawler4j_spark.sources.corpus_spark import (
+        bench_robots, bench_seeds, generate_corpus_spark,
+    )
 
     cdir = os.path.join(BENCH_DIR, "corpus")
     marker = os.path.join(cdir, "_SPEC.json")
-    if os.path.exists(marker) and json.load(open(marker)) == BENCH_SPEC:
-        return (spark.read.parquet(os.path.join(cdir, "pages")),
-                spark.read.parquet(os.path.join(cdir, "robots")),
-                json.load(open(os.path.join(cdir, "seeds.json"))))
-    gen = generate_corpus(CorpusSpec(**BENCH_SPEC))
-    corpus_df, robots_df = make_corpus_dfs(spark, gen)
-    shutil.rmtree(cdir, ignore_errors=True)
-    os.makedirs(cdir, exist_ok=True)
-    corpus_df.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(cdir, "pages"))
-    robots_df.write.mode("overwrite").parquet(os.path.join(cdir, "robots"))
-    json.dump(gen.seeds, open(os.path.join(cdir, "seeds.json"), "w"))
-    json.dump(BENCH_SPEC, open(marker, "w"))
+    seeds = bench_seeds(BENCH_SPEC["n_pages"], BENCH_SPEC["n_hosts"],
+                        BENCH_SPEC["zipf_s"], N_SEEDS)
+    if not (os.path.exists(marker) and json.load(open(marker)) == BENCH_SPEC):
+        corpus_df = generate_corpus_spark(spark, **BENCH_SPEC)
+        robots_df = bench_robots(spark, BENCH_SPEC["n_hosts"])
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir, exist_ok=True)
+        corpus_df.write.mode("overwrite").parquet(os.path.join(cdir, "pages"))
+        robots_df.write.mode("overwrite").parquet(os.path.join(cdir, "robots"))
+        json.dump(BENCH_SPEC, open(marker, "w"))
     return (spark.read.parquet(os.path.join(cdir, "pages")),
-            spark.read.parquet(os.path.join(cdir, "robots")), gen.seeds)
+            spark.read.parquet(os.path.join(cdir, "robots")), seeds)
 
 
 def frontier_bench(parallelism: int) -> dict:
@@ -88,10 +88,11 @@ def frontier_bench(parallelism: int) -> dict:
         corpus_df, robots_df, seeds = _corpus_parquet(spark)
         store = os.path.join(BENCH_DIR, f"store-{parallelism}-{int(time.time())}")
         cfg = EngineConfig(
-            sim=SimConfig(max_depth=3, politeness_ms=50),
+            sim=SimConfig(max_depth=CRAWL_DEPTH, politeness_ms=50),
             round_size=ROUND_SIZE,
             n_seen_buckets=max(parallelism * 2, 16),
-            expected_urls_per_bucket=50_000,
+            expected_urls_per_bucket=max(
+                BENCH_SPEC["n_pages"] // max(parallelism * 2, 16), 10_000),
             mint_buckets=parallelism,
         )
         eng = CrawlEngine(spark, store, corpus_df, robots_df, cfg)
@@ -202,7 +203,7 @@ Sandbox evidence protocol for the north rule's N→4N executor criterion
 (no real cluster available — see BASELINE.md): the identical frontier crawl
 job (deterministic corpus, seed={BENCH_SPEC['seed']},
 {BENCH_SPEC['n_pages']} pages, {BENCH_SPEC['n_hosts']} Zipf-skewed hosts,
-round_size={ROUND_SIZE}, max_depth=3) run at two parallelism levels with
+round_size={ROUND_SIZE}, {N_SEEDS} seeds, max_depth={CRAWL_DEPTH}) run at two parallelism levels with
 shuffle partitions scaled proportionally.
 
 | parallelism | rounds | claimed | deduped candidates | scheduled | wall (s) | URLs/sec |

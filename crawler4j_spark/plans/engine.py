@@ -270,8 +270,13 @@ class CrawlEngine:
         self.round += 1
 
         # --- simulated fetch: claimed ⋈ corpus (S5) ---
+        # Staged once: every downstream consumer (redirects, parse, visited)
+        # reads the staged fetch result, so the big corpus scan happens
+        # exactly once per round. Claimed is broadcast (tiny vs corpus).
         fetched = slotted.join(self.corpus(),
                                slotted.url == F.col("doc_id"), "left")
+        fetched_entries = self.store.stage_dataframe(fetched.drop("doc_id"))
+        fetched = self.store.read("fetched_tmp", files=fetched_entries)
 
         # --- redirect targets (raw, same depth — WebCrawler.java:399-430) ---
         redirect_cands = (

@@ -39,6 +39,8 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(events_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need event-time TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

@@ -1,6 +1,8 @@
 """Streaming coverage (SURVEY §2.8): real Structured Streaming pipelines
 over the events table, and the CrawlStream micro-batch wrapper."""
 
+import shutil
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -12,9 +14,20 @@ from crawler4j_spark.streaming.events import (
 )
 
 
+EVENTS_FILE = "/root/testdata/sf0.001/events.parquet"
+
+
+def _events_dir(tmp_path):
+    # the SS file source needs a directory, not a bare parquet file
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(EVENTS_FILE, d / "part-0.parquet")
+    return str(d)
+
+
 @pytest.mark.slow
 def test_windowed_counts_matches_batch(spark, tmp_path):
-    events_dir = "/root/testdata/sf0.001/events.parquet"
+    events_dir = _events_dir(tmp_path)
     stream = read_events_stream(spark, events_dir)
     assert stream.isStreaming
     agg = windowed_counts(stream)
@@ -24,7 +37,7 @@ def test_windowed_counts_matches_batch(spark, tmp_path):
         for r in spark.table("win_counts").collect()
     }
     batch = (
-        spark.read.parquet(events_dir)
+        spark.read.parquet(EVENTS_FILE).withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
         .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
@@ -36,8 +49,7 @@ def test_windowed_counts_matches_batch(spark, tmp_path):
 
 @pytest.mark.slow
 def test_stateful_sessionize_runs(spark, tmp_path):
-    events_dir = "/root/testdata/sf0.001/events.parquet"
-    stream = read_events_stream(spark, events_dir)
+    stream = read_events_stream(spark, _events_dir(tmp_path))
     sess = sessionize_stateful(stream)
     run_to_memory(sess, "sessions", str(tmp_path / "ckpt2"), "update")
     out = spark.table("sessions").collect()
