@@ -98,6 +98,9 @@ class EngineConfig:
     expected_urls_per_bucket: int = 200_000
     mint_buckets: int = 32
     should_visit_pattern: str | None = None  # regex gate (F4), None = all
+    # F12 handleUrlBeforeProcess: optional DataFrame->DataFrame rewrite of
+    # the claimed batch before fetching (WebCrawler.java:183-185)
+    url_rewrite: object | None = None
 
     def __post_init__(self) -> None:
         if self.sim is None:
@@ -264,6 +267,8 @@ class CrawlEngine:
         claimed_entries = self.store.stage_dataframe(
             slotted, stats_cols=["docid"])
         slotted = self.store.read("frontier_claimed_tmp", files=claimed_entries)
+        if cfg.url_rewrite is not None:
+            slotted = cfg.url_rewrite(slotted)
         n_claimed = sum(e["rows"] for e in claimed_entries)
         if n_claimed == 0:
             return {}
@@ -392,6 +397,23 @@ class CrawlEngine:
         visited_entries = self.store.stage_dataframe(visited)
         n_visited = sum(e["rows"] for e in visited_entries)
 
+        # --- error channel (handlePageStatusCode / onPageBiggerThanMaxSize /
+        # onUnexpectedError routing, WebCrawler.java:170-231) ---
+        errors = fetched.select(
+            "url", "docid", "depth", "process_seq",
+            F.lit(self.round).alias("round"),
+            F.when(F.col("status_code").isNull(), F.lit(404))
+            .when((F.col("status_code") == 200)
+                  & (F.col("content_length") > sim.max_download_size),
+                  F.lit(PAGE_TOO_BIG))
+            .otherwise(F.col("status_code")).alias("status"),
+        ).filter(
+            (F.col("status") != 200)
+            & ~(F.col("status").isin(list(REDIRECT_CODES))
+                & F.lit(sim.follow_redirects))
+        )
+        error_entries = self.store.stage_dataframe(errors)
+
         # --- politeness carry + clock advance ---
         carry = new_host_carry(slotted, self.clock, sim.politeness_ms)
         max_eff = slotted.agg(F.max("eff_time")).collect()[0][0] or 0
@@ -429,8 +451,27 @@ class CrawlEngine:
         untouched = [e for e in frontier_files if e["path"] not in head_paths]
         frontier_entries = untouched + new_head_entries + admitted_entries
 
+        # --- seed-end events (J5 handleSeedEnd): a seed whose last live
+        # offspring was processed this round with no admitted children ---
+        before_seeds = frontier_head.select("seed_docid").distinct()
+        if untouched:
+            rest_df = self.store.read("frontier", files=untouched)
+            if rest_df is not None:
+                before_seeds = before_seeds.unionByName(
+                    rest_df.select("seed_docid").distinct()).distinct()
+        after_frontier = self.store.read(
+            "frontier", files=frontier_entries)
+        if after_frontier is not None:
+            ended = before_seeds.join(
+                after_frontier.select("seed_docid").distinct(),
+                "seed_docid", "left_anti")
+        else:
+            ended = before_seeds
+        seed_event_entries = self.store.stage_dataframe(
+            ended.select("seed_docid", F.lit(self.round).alias("round")))
+
         # --- metrics (A1/A2) with per-partition lineage ---
-        n_errors = n_claimed - n_visited
+        n_errors = sum(e["rows"] for e in error_entries)
         self.processed_pages += n_claimed
         self.scheduled_pages += n_admitted
         self.last_docid += n_minted
@@ -452,6 +493,8 @@ class CrawlEngine:
                 "seen": seen_entries,
                 "documents": visited_entries,
                 "metrics": metrics_entries,
+                "errors": error_entries,
+                "seed_events": seed_event_entries,
             },
             replaces={
                 "frontier": frontier_entries,
@@ -496,6 +539,11 @@ class CrawlEngine:
             if not m:
                 break
             out.append(m)
+            if self.round % 5 == 0:
+                # sweep per-round staging temps + files dereferenced by
+                # frontier/bloom replacements (only the current snapshot
+                # is retained — no time travel)
+                self.store.gc_unreferenced()
         return out
 
     # ------------------------------------------------------------- results

@@ -67,6 +67,23 @@ def assert_parity(sim, eng):
     assert eng.scheduled_pages == sim.scheduled_pages
     assert eng.last_docid == sim.last_docid
 
+    # (e) error channel parity (status-code routing incl. 404/too-big)
+    err_df = eng.store.read("errors")
+    eng_errors = set()
+    if err_df is not None:
+        eng_errors = {(r["url"], r["status"])
+                      for r in err_df.select("url", "status").collect()}
+    sim_errors = {(e["url"], e["status"]) for e in sim.errors}
+    assert eng_errors == sim_errors
+
+    # (f) seed-end events: same ended-seed set, each emitted exactly once
+    ev_df = eng.store.read("seed_events")
+    eng_ended = []
+    if ev_df is not None:
+        eng_ended = [r["seed_docid"]
+                     for r in ev_df.select("seed_docid").collect()]
+    assert sorted(eng_ended) == sorted(set(sim.seed_end_events))
+
 
 @pytest.mark.slow
 def test_parity_default_corpus(spark, tmp_path):
