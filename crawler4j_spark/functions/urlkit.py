@@ -483,6 +483,21 @@ DEFAULT_TLD_SET: frozenset[str] = frozenset(
 )
 
 
+def load_tld_file(path: str) -> frozenset[str]:
+    """S10: load a full public-suffix list file (publicsuffix.org format —
+    comment lines ``//``, blank lines skipped) for use as ``tld_set``.
+    Mirrors TLDList's file loader (url/TLDList.java:22-107) without the
+    online-update path (hermetic by default)."""
+    out = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            out.add(line)
+    return frozenset(out)
+
+
 def split_domain(
     url: str, tld_set: frozenset[str] | set[str] = DEFAULT_TLD_SET
 ) -> tuple[str, str, str]:

@@ -160,6 +160,37 @@ class CrawlEngine:
 
     # ---------------------------------------------------------------- seeds
 
+    def add_seen_urls(self, pairs: list[tuple[str, int]]) -> int:
+        """S2 warm start (CrawlController.addSeenUrl): bulk-register
+        URL→docid mappings (e.g. from a previous crawl) without scheduling.
+        Returns the number registered; updates the docid high-water mark."""
+        from ..functions.urlkit import canonicalize as _canon
+
+        rows, hwm = [], self.last_docid
+        existing = set(self.seen_map()) if self.store.table_files("seen") else set()
+        for url, docid in pairs:
+            canon = _canon(url)
+            if canon is None or canon in existing or docid <= hwm:
+                continue
+            rows.append((canon, docid))
+            existing.add(canon)
+            hwm = docid
+        if not rows:
+            return 0
+        seen_delta = with_bucket(
+            self.spark.createDataFrame(rows, "url string, docid long"),
+            "url", self.cfg.n_seen_buckets)
+        blooms = update_blooms(
+            seen_delta, self._read("seen_bloom"),
+            self.cfg.n_seen_buckets, self.cfg.expected_urls_per_bucket)
+        bloom_entries = self.store.stage_dataframe(blooms)
+        self.last_docid = hwm
+        self.store.commit(
+            adds={"seen": self.store.stage_dataframe(seen_delta)},
+            replaces={"seen_bloom": bloom_entries},
+            props=self._props())
+        return len(rows)
+
     def add_seeds(self, seeds: list[dict]) -> list[int]:
         """CrawlController.addSeed semantics, batched before round 0
         (S1/S2). ``seeds``: [{url, priority, doc_id_override}] in order.

@@ -258,6 +258,16 @@ class RefSim:
 
     # -- seeds ------------------------------------------------------------
 
+    def add_seen_url(self, url: str, docid: int) -> bool:
+        """S2 warm start (CrawlController.addSeenUrl:398-409): register a
+        URL→docid mapping without crawling it. Requires increasing docids."""
+        canon = canonicalize(url)
+        if canon is None or canon in self.seen or docid <= self.last_docid:
+            return False
+        self.seen[canon] = docid
+        self.last_docid = docid
+        return True
+
     def add_seed(self, url: str, docid: int = -1, priority: int = 0) -> int:
         canon = canonicalize(url)
         if canon is None:

@@ -224,3 +224,24 @@ def test_generated_corpus_runs():
     sim2.crawl()
     assert [v["url"] for v in sim.visited] == [v["url"] for v in sim2.visited]
     assert sim.seen == sim2.seen
+
+
+def test_warm_start_add_seen_url():
+    sim = RefSim(mini_corpus())
+    assert sim.add_seen_url("http://a.com/x.html", 5)
+    assert not sim.add_seen_url("http://a.com/x.html", 6)   # dup
+    assert not sim.add_seen_url("http://a.com/y.html", 3)   # non-increasing
+    # next seed mints above the warm-start high-water mark
+    assert sim.add_seed("http://a.com/") == 6
+    sim.crawl()
+    # x.html was pre-seen: never re-minted, never visited
+    assert sim.seen["http://a.com/x.html"] == 5
+    assert "http://a.com/x.html" not in [v["url"] for v in sim.visited]
+
+
+def test_seed_doc_id_override():
+    sim = RefSim(mini_corpus())
+    assert sim.add_seed("http://a.com/", docid=10) == 10
+    # later mints continue from the override
+    sim.crawl()
+    assert sim.seen["http://a.com/x.html"] == 11

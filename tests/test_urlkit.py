@@ -144,3 +144,14 @@ def test_host_and_path_helpers():
     assert url_path("http://x.com/a/b?c=1") == "/a/b"
     assert url_path("http://x.com") == ""
     assert url_path("http://x.com/p;jsessionid=1?x=2") == "/p;jsessionid=1"
+
+
+def test_load_tld_file(tmp_path):
+    from crawler4j_spark.functions.urlkit import load_tld_file
+
+    p = tmp_path / "psl.txt"
+    p.write_text("// comment\n\nac.jp\nweird.suffix\n")
+    s = load_tld_file(str(p))
+    assert s == frozenset({"ac.jp", "weird.suffix"})
+    d, sub, _ = split_domain("http://a.b.weird.suffix/x", s)
+    assert d == "b.weird.suffix" and sub == "a"
