@@ -42,63 +42,72 @@ HEADLINE = [
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 # frontier bench corpus knobs (deterministic; cached as parquet)
-BENCH_SPEC = dict(seed=1234, n_hosts=128, n_pages=400_000, zipf_s=1.1,
-                  fanout=10)
-N_SEEDS = 12_000        # every ~33rd URL — the crawl must cover the corpus
-ROUND_SIZE = 100_000
-MAX_ROUNDS = 8
-CRAWL_DEPTH = 8
+# two corpus specs: "default" keeps the driver's per-round bench fast;
+# "scale" is big enough that per-round work dwarfs fixed job overhead,
+# which is what makes the N vs 4N comparison meaningful.
+SPECS = {
+    "default": dict(
+        corpus=dict(seed=1234, n_hosts=128, n_pages=400_000, zipf_s=1.1,
+                    fanout=10),
+        n_seeds=12_000, round_size=100_000, max_rounds=8, depth=8),
+    "scale": dict(
+        corpus=dict(seed=1234, n_hosts=256, n_pages=1_500_000, zipf_s=1.1,
+                    fanout=10),
+        n_seeds=40_000, round_size=400_000, max_rounds=6, depth=8),
+}
 
 
-def _corpus_parquet(spark):
+def _corpus_parquet(spark, spec_name):
     """Generate-once (seeded, Spark-parallel) corpus parquet for the
     frontier bench. Per-row deterministic: identical at any parallelism."""
     from crawler4j_spark.sources.corpus_spark import (
         bench_robots, bench_seeds, generate_corpus_spark,
     )
 
-    cdir = os.path.join(BENCH_DIR, "corpus")
+    spec = SPECS[spec_name]
+    cdir = os.path.join(BENCH_DIR, f"corpus-{spec_name}")
     marker = os.path.join(cdir, "_SPEC.json")
-    seeds = bench_seeds(BENCH_SPEC["n_pages"], BENCH_SPEC["n_hosts"],
-                        BENCH_SPEC["zipf_s"], N_SEEDS)
-    if not (os.path.exists(marker) and json.load(open(marker)) == BENCH_SPEC):
-        corpus_df = generate_corpus_spark(spark, **BENCH_SPEC)
-        robots_df = bench_robots(spark, BENCH_SPEC["n_hosts"])
+    seeds = bench_seeds(spec["corpus"]["n_pages"], spec["corpus"]["n_hosts"],
+                        spec["corpus"]["zipf_s"], spec["n_seeds"])
+    if not (os.path.exists(marker) and json.load(open(marker)) == spec["corpus"]):
+        corpus_df = generate_corpus_spark(spark, **spec["corpus"])
+        robots_df = bench_robots(spark, spec["corpus"]["n_hosts"])
         shutil.rmtree(cdir, ignore_errors=True)
         os.makedirs(cdir, exist_ok=True)
         corpus_df.write.mode("overwrite").parquet(os.path.join(cdir, "pages"))
         robots_df.write.mode("overwrite").parquet(os.path.join(cdir, "robots"))
-        json.dump(BENCH_SPEC, open(marker, "w"))
+        json.dump(spec["corpus"], open(marker, "w"))
     return (spark.read.parquet(os.path.join(cdir, "pages")),
             spark.read.parquet(os.path.join(cdir, "robots")), seeds)
 
 
-def frontier_bench(parallelism: int) -> dict:
+def frontier_bench(parallelism: int, spec_name: str = "default") -> dict:
     """One frontier crawl at the given parallelism; returns metrics."""
     from crawler4j_spark.plans.engine import CrawlEngine, EngineConfig
     from crawler4j_spark.plans.refsim import SimConfig
     from crawler4j_spark.session import get_spark
 
+    spec = SPECS[spec_name]
     spark = get_spark(
         f"frontier-bench-{parallelism}",
         master=f"local[{parallelism}]",
         shuffle_partitions=parallelism,
     )
     try:
-        corpus_df, robots_df, seeds = _corpus_parquet(spark)
+        corpus_df, robots_df, seeds = _corpus_parquet(spark, spec_name)
         store = os.path.join(BENCH_DIR, f"store-{parallelism}-{int(time.time())}")
         cfg = EngineConfig(
-            sim=SimConfig(max_depth=CRAWL_DEPTH, politeness_ms=50),
-            round_size=ROUND_SIZE,
+            sim=SimConfig(max_depth=spec["depth"], politeness_ms=50),
+            round_size=spec["round_size"],
             n_seen_buckets=max(parallelism * 2, 16),
             expected_urls_per_bucket=max(
-                BENCH_SPEC["n_pages"] // max(parallelism * 2, 16), 10_000),
+                spec["corpus"]["n_pages"] // max(parallelism * 2, 16), 10_000),
             mint_buckets=parallelism,
         )
         eng = CrawlEngine(spark, store, corpus_df, robots_df, cfg)
         eng.add_seeds(seeds)
         t0 = time.time()
-        rounds = eng.crawl(max_rounds=MAX_ROUNDS)
+        rounds = eng.crawl(max_rounds=spec["max_rounds"])
         wall = time.time() - t0
         deduped = sum(r["deduped"] for r in rounds)
         scheduled = sum(r["admitted"] for r in rounds)
@@ -141,12 +150,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--spec", default="default", choices=list(SPECS))
     ap.add_argument("--skip-frontier", action="store_true")
     args = ap.parse_args()
     os.makedirs(BENCH_DIR, exist_ok=True)
 
     if args.parallelism is not None:
-        print(json.dumps(frontier_bench(args.parallelism)))
+        print(json.dumps(frontier_bench(args.parallelism, args.spec)))
         return
 
     if args.scaling:
@@ -154,7 +164,7 @@ def main() -> None:
         for p in (8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--parallelism", str(p)],
+                 "--parallelism", str(p), "--spec", "scale"],
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             results[p] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -201,9 +211,11 @@ def _write_scaling_report(report: dict) -> None:
 
 Sandbox evidence protocol for the north rule's N→4N executor criterion
 (no real cluster available — see BASELINE.md): the identical frontier crawl
-job (deterministic corpus, seed={BENCH_SPEC['seed']},
-{BENCH_SPEC['n_pages']} pages, {BENCH_SPEC['n_hosts']} Zipf-skewed hosts,
-round_size={ROUND_SIZE}, {N_SEEDS} seeds, max_depth={CRAWL_DEPTH}) run at two parallelism levels with
+job (deterministic corpus, seed={SPECS['scale']['corpus']['seed']},
+{SPECS['scale']['corpus']['n_pages']} pages,
+{SPECS['scale']['corpus']['n_hosts']} Zipf-skewed hosts,
+round_size={SPECS['scale']['round_size']},
+{SPECS['scale']['n_seeds']} seeds, max_depth={SPECS['scale']['depth']}) run at two parallelism levels with
 shuffle partitions scaled proportionally.
 
 | parallelism | rounds | claimed | deduped candidates | scheduled | wall (s) | URLs/sec |

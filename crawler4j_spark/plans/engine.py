@@ -259,6 +259,9 @@ class CrawlEngine:
                 frontier_delta = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
                 adds["frontier"] = self.store.stage_dataframe(
                     frontier_delta, stats_cols=["priority", "depth", "docid"])
+                adds["seed_counts"] = self.store.stage_dataframe(
+                    frontier_delta.groupBy("seed_docid").agg(
+                        F.count("*").cast("long").alias("cnt")))
             adds["seen"] = self.store.stage_dataframe(seen_delta)
             blooms = update_blooms(
                 seen_delta, self._read("seen_bloom"),
@@ -482,24 +485,37 @@ class CrawlEngine:
         untouched = [e for e in frontier_files if e["path"] not in head_paths]
         frontier_entries = untouched + new_head_entries + admitted_entries
 
-        # --- seed-end events (J5 handleSeedEnd): a seed whose last live
-        # offspring was processed this round with no admitted children ---
-        before_seeds = frontier_head.select("seed_docid").distinct()
-        if untouched:
-            rest_df = self.store.read("frontier", files=untouched)
-            if rest_df is not None:
-                before_seeds = before_seeds.unionByName(
-                    rest_df.select("seed_docid").distinct()).distinct()
-        after_frontier = self.store.read(
-            "frontier", files=frontier_entries)
-        if after_frontier is not None:
-            ended = before_seeds.join(
-                after_frontier.select("seed_docid").distinct(),
-                "seed_docid", "left_anti")
+        # --- seed-end events (J5 handleSeedEnd), incremental ---
+        # seed_counts(seed_docid, cnt) = live pending rows per seed,
+        # maintained by round deltas (claimed−, admitted+) so the cost is
+        # O(round), never a scan of the 10^10-row frontier. cnt→0 ⇒ ended.
+        claimed_per_seed = slotted.groupBy("seed_docid").agg(
+            F.count("*").alias("claimed_n"))
+        admitted_df = self.store.read("frontier", files=admitted_entries)
+        if admitted_df is not None:
+            admitted_per_seed = admitted_df.groupBy("seed_docid").agg(
+                F.count("*").alias("admitted_n"))
         else:
-            ended = before_seeds
+            admitted_per_seed = self.spark.createDataFrame(
+                [], "seed_docid long, admitted_n long")
+        old_counts = self._read("seed_counts")
+        if old_counts is None:
+            old_counts = self.spark.createDataFrame(
+                [], "seed_docid long, cnt long")
+        merged = (
+            old_counts.join(claimed_per_seed, "seed_docid", "outer")
+            .join(admitted_per_seed, "seed_docid", "outer")
+            .select(
+                "seed_docid",
+                (F.coalesce(F.col("cnt"), F.lit(0))
+                 - F.coalesce(F.col("claimed_n"), F.lit(0))
+                 + F.coalesce(F.col("admitted_n"), F.lit(0))).alias("cnt"))
+        )
         seed_event_entries = self.store.stage_dataframe(
-            ended.select("seed_docid", F.lit(self.round).alias("round")))
+            merged.filter(F.col("cnt") <= 0)
+            .select("seed_docid", F.lit(self.round).alias("round")))
+        seed_count_entries = self.store.stage_dataframe(
+            merged.filter(F.col("cnt") > 0))
 
         # --- metrics (A1/A2) with per-partition lineage ---
         n_errors = sum(e["rows"] for e in error_entries)
@@ -531,6 +547,7 @@ class CrawlEngine:
                 "frontier": frontier_entries,
                 "seen_bloom": bloom_entries,
                 "host_state": host_entries,
+                "seed_counts": seed_count_entries,
             },
             props=self._props(),
             lineage={

@@ -83,3 +83,33 @@ def test_snapshot_isolation_under_failed_commit(spark, tmp_path):
     assert eng.store.manifest()["version"] == before
     assert eng.store.row_count("seen") == seen_before
     assert eng.store.gc_unreferenced() >= 1
+
+
+@pytest.mark.slow
+def test_warm_start_matches_sim(spark, tmp_path):
+    """S2: preloaded seen URLs are never re-minted nor visited, and the
+    docid high-water mark carries — engine vs simulator."""
+    from crawler4j_spark.plans.refsim import RefSim
+    from tests.test_engine_parity import assert_parity
+
+    gen = generate_corpus(CorpusSpec(n_pages=80, n_hosts=4, seed=13))
+    # pre-see a handful of real corpus URLs with docids 100..
+    pre = [(p.url, 100 + i) for i, p in enumerate(
+        sorted(gen.pages, key=lambda p: p.url)[10:14])]
+
+    sim = RefSim(gen.sim, SimConfig(max_depth=3))
+    for u, d in pre:
+        assert sim.add_seen_url(u, d)
+    for s in gen.seeds:
+        sim.add_seed(s["url"], priority=s["priority"])
+    sim.crawl()
+
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    cfg = EngineConfig(sim=SimConfig(max_depth=3), round_size=25,
+                       n_seen_buckets=8, expected_urls_per_bucket=2000,
+                       mint_buckets=4)
+    eng = CrawlEngine(spark, str(tmp_path / "ws"), corpus_df, robots_df, cfg)
+    assert eng.add_seen_urls(pre) == len(pre)
+    eng.add_seeds(gen.seeds)
+    eng.crawl(max_rounds=200)
+    assert_parity(sim, eng)
