@@ -45,7 +45,6 @@ from pyspark.sql.types import (
 
 from ..functions import urlkit
 from ..functions.udfs import (
-    canonicalize_udf,
     host_udf,
     parse_robots_udf_factory,
     path_udf,
@@ -60,7 +59,7 @@ from ..operators.seen_filter import (
     with_bucket,
 )
 from ..sources.tableio import SnapshotStore
-from .refsim import PAGE_TOO_BIG, REDIRECT_CODES, SimConfig
+from .refsim import PAGE_TOO_BIG, REDIRECT_CODES, SimConfig  # noqa: F401
 
 __all__ = ["CrawlEngine", "EngineConfig"]
 
@@ -101,6 +100,11 @@ class EngineConfig:
     # F12 handleUrlBeforeProcess: optional DataFrame->DataFrame rewrite of
     # the claimed batch before fetching (WebCrawler.java:183-185)
     url_rewrite: object | None = None
+    # anti-starvation (SURVEY §7): claim at most this many URLs per host per
+    # round; the rest stay pending for later rounds. None = unlimited
+    # (reference-parity mode — the reference has no such cap; a hot host's
+    # cost is bounded by the politeness budget either way).
+    max_host_slots_per_round: int | None = None
 
     def __post_init__(self) -> None:
         if self.sim is None:
@@ -298,6 +302,11 @@ class CrawlEngine:
         # --- politeness slots + process order (O1-O4) ---
         slotted = assign_slots(
             claimed, self._read("host_state"), self.clock, sim.politeness_ms)
+        if cfg.max_host_slots_per_round is not None:
+            # defer a hot host's tail beyond the cap: those rows are simply
+            # not claimed (stay pending), so no host starves a round
+            slotted = slotted.filter(
+                F.col("slot") <= cfg.max_host_slots_per_round)
         claimed_entries = self.store.stage_dataframe(
             slotted, stats_cols=["docid"])
         slotted = self.store.read("frontier_claimed_tmp", files=claimed_entries)

@@ -113,3 +113,40 @@ def test_warm_start_matches_sim(spark, tmp_path):
     eng.add_seeds(gen.seeds)
     eng.crawl(max_rounds=200)
     assert_parity(sim, eng)
+
+
+@pytest.mark.slow
+def test_hot_host_claim_cap(spark, tmp_path):
+    """Anti-starvation: with max_host_slots_per_round set, a hot host cannot
+    monopolize a round — its tail stays pending and the crawl still drains
+    to the same visited SET (order differs from parity mode by design)."""
+    gen = generate_corpus(CorpusSpec(n_pages=60, n_hosts=4, seed=23,
+                                     zipf_s=3.0))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    cfg = EngineConfig(
+        sim=SimConfig(max_depth=2), round_size=40,
+        n_seen_buckets=8, expected_urls_per_bucket=2000, mint_buckets=4,
+        max_host_slots_per_round=5)
+    eng = CrawlEngine(spark, str(tmp_path / "cap"), corpus_df, robots_df, cfg)
+    eng.add_seeds(gen.seeds)
+    rounds = eng.crawl(max_rounds=300)
+    assert eng.frontier_pending() == 0
+    # no round claimed more than 5 URLs of any single host
+    claimed_caps = []
+    docs = eng.store.read("documents")
+    from pyspark.sql import functions as F
+    by_host_round = (
+        docs.groupBy("round", F.expr("substring_index(substring_index(url, '/', 3), '//', -1)").alias("h"))
+        .count().agg(F.max("count")).collect()[0][0])
+    assert by_host_round <= 5
+
+    # uncapped run visits the same SET of pages
+    cfg2 = EngineConfig(
+        sim=SimConfig(max_depth=2), round_size=40,
+        n_seen_buckets=8, expected_urls_per_bucket=2000, mint_buckets=4)
+    eng2 = CrawlEngine(spark, str(tmp_path / "nocap"), corpus_df, robots_df, cfg2)
+    eng2.add_seeds(gen.seeds)
+    eng2.crawl(max_rounds=300)
+    v1 = {r["url"] for r in eng.store.read("documents").select("url").collect()}
+    v2 = {r["url"] for r in eng2.store.read("documents").select("url").collect()}
+    assert v1 == v2
