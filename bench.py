@@ -103,6 +103,8 @@ def frontier_bench(parallelism: int, spec_name: str = "default") -> dict:
             expected_urls_per_bucket=max(
                 spec["corpus"]["n_pages"] // max(parallelism * 2, 16), 10_000),
             mint_buckets=parallelism,
+            exact_claim=False,            # claim whole stats-pruned head files
+            dense_seq_distributed=True,   # no single-partition windows
         )
         eng = CrawlEngine(spark, store, corpus_df, robots_df, cfg)
         eng.add_seeds(seeds)

@@ -65,3 +65,36 @@ def mint_docids(
         )
         .drop("mint_bucket", "local_rank", "bucket_offset")
     )
+
+
+def ordered_rank(
+    df: DataFrame,
+    bucket_col,          # Column: order-consistent bucket (b(x)<b(y) ⇒ x<y)
+    order_cols: list,    # tie-break ordering within a bucket
+    out_col: str,
+    base: int = 0,
+) -> DataFrame:
+    """Distributed dense rank over a total order, without a global sort:
+    the caller supplies an order-consistent bucketing expression (every row
+    of bucket k sorts before every row of bucket k+1); local ranks within
+    buckets + a prefix-sum of bucket counts give the global dense rank.
+    One tiny aggregate action (#buckets rows) is the only synchronization."""
+    df = df.withColumn("_ob", bucket_col.cast("long"))
+    w = Window.partitionBy("_ob").orderBy(*order_cols)
+    df = df.withColumn("_lr", F.row_number().over(w))
+    counts = df.groupBy("_ob").count().orderBy("_ob").collect()
+    offsets, acc = {}, base
+    for r in counts:
+        offsets[r["_ob"]] = acc
+        acc += r["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()] or [(0, 0)],
+        "_ob long, _off long")
+    return (
+        df.join(F.broadcast(off_df), "_ob", "left")
+        .withColumn(out_col,
+                    (F.coalesce(F.col("_off"), F.lit(base)) + F.col("_lr"))
+                    .cast("long"))
+        .drop("_ob", "_lr", "_off")
+    )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .mint import ordered_rank
+
 __all__ = ["assign_slots", "new_host_carry"]
 
 KEY_COLS = ["priority", "depth_key", "docid"]
@@ -35,6 +37,7 @@ def assign_slots(
     host_state: DataFrame | None,  # (host, next_time) carried across rounds
     clock: int,
     politeness_ms: int,
+    dense_seq_distributed: bool = False,
 ) -> DataFrame:
     """Adds ``slot``, ``eff_time`` and the round-total ``process_seq``
     ordering column to the claimed batch."""
@@ -55,10 +58,18 @@ def assign_slots(
         "eff_time",
         F.col("host_start") + (F.col("slot") - F.lit(1)) * F.lit(politeness_ms),
     )
+    if dense_seq_distributed and politeness_ms > 0:
+        # scale path: floor(eff_time/delay) is order-consistent (floor is
+        # monotone in eff_time), so the global process order is computed as
+        # a distributed two-stage rank — no single-partition window. Bucket
+        # sizes ≈ #hosts each (one slot per host per bucket): well balanced.
+        df = ordered_rank(
+            df, F.floor(F.col("eff_time") / F.lit(politeness_ms)),
+            ["eff_time"] + KEY_COLS, "process_seq")
+        return df.drop("depth_key")
     w_all = Window.orderBy("eff_time", *KEY_COLS)
-    # NOTE: the global row_number runs on one partition — fine for a claim
-    # batch (≤ round_size rows, not the 10^10 frontier). At extreme round
-    # sizes swap for the two-stage offset mint in operators/mint.py.
+    # parity path: a single-partition window over the claim batch
+    # (≤ round_size rows, not the 10^10 frontier)
     return df.withColumn("process_seq", F.row_number().over(w_all)).drop(
         "depth_key"
     )

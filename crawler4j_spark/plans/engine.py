@@ -105,6 +105,13 @@ class EngineConfig:
     # (reference-parity mode — the reference has no such cap; a hot host's
     # cost is bounded by the politeness budget either way).
     max_host_slots_per_round: int | None = None
+    # scale knobs: exact_claim=True reproduces the reference's exact global
+    # top-K claim (TakeOrderedAndProject — single-partition for large K);
+    # False claims all rows of the stats-pruned head files (≈ round_size,
+    # priority-region-accurate) with no global sort. dense_seq_distributed
+    # computes the politeness process order via the two-stage rank.
+    exact_claim: bool = True
+    dense_seq_distributed: bool = False
 
     def __post_init__(self) -> None:
         if self.sim is None:
@@ -293,15 +300,20 @@ class CrawlEngine:
         frontier_head = self.store.read("frontier", files=head_files)
         if frontier_head is None:
             return {}
-        claimed = (
-            frontier_head
-            .orderBy("priority", F.least(F.col("depth"), F.lit(127)), "docid")
-            .limit(cfg.round_size)
-        )
+        if cfg.exact_claim:
+            claimed = (
+                frontier_head
+                .orderBy("priority", F.least(F.col("depth"), F.lit(127)),
+                         "docid")
+                .limit(cfg.round_size)
+            )
+        else:
+            claimed = frontier_head  # whole head files (≈ round_size rows)
 
         # --- politeness slots + process order (O1-O4) ---
         slotted = assign_slots(
-            claimed, self._read("host_state"), self.clock, sim.politeness_ms)
+            claimed, self._read("host_state"), self.clock, sim.politeness_ms,
+            dense_seq_distributed=cfg.dense_seq_distributed)
         if cfg.max_host_slots_per_round is not None:
             # defer a hot host's tail beyond the cap: those rows are simply
             # not claimed (stay pending), so no host starves a round

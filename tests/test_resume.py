@@ -150,3 +150,30 @@ def test_hot_host_claim_cap(spark, tmp_path):
     v1 = {r["url"] for r in eng.store.read("documents").select("url").collect()}
     v2 = {r["url"] for r in eng2.store.read("documents").select("url").collect()}
     assert v1 == v2
+
+
+@pytest.mark.slow
+def test_scale_mode_same_visited_set(spark, tmp_path):
+    """exact_claim=False + distributed process order (the 10^10 scale path)
+    relaxes within-round composition but must still crawl exactly the same
+    page SET to completion."""
+    from crawler4j_spark.plans.refsim import RefSim
+
+    gen = generate_corpus(CorpusSpec(n_pages=80, n_hosts=4, seed=51))
+    sim = RefSim(gen.sim, SimConfig(max_depth=3))
+    for s in gen.seeds:
+        sim.add_seed(s["url"], priority=s["priority"])
+    sim.crawl()
+
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    cfg = EngineConfig(
+        sim=SimConfig(max_depth=3), round_size=25,
+        n_seen_buckets=8, expected_urls_per_bucket=2000, mint_buckets=4,
+        exact_claim=False, dense_seq_distributed=True)
+    eng = CrawlEngine(spark, str(tmp_path / "scale"), corpus_df, robots_df, cfg)
+    eng.add_seeds(gen.seeds)
+    eng.crawl(max_rounds=300)
+    got = {r["url"] for r in eng.store.read("documents").select("url").collect()}
+    want = {v["url"] for v in sim.visited}
+    assert got == want
+    assert eng.frontier_pending() == 0
