@@ -26,6 +26,7 @@ Design notes (deliberate parity decisions):
 
 from __future__ import annotations
 
+import re
 import string
 from dataclasses import dataclass
 from typing import Optional
@@ -357,11 +358,28 @@ def _canonical_query(params: dict[str, str]) -> str:
     return "&".join(out)
 
 
+# Fast path: URLs already in canonical form map to themselves, provably —
+# lowercase scheme+host, no port/userinfo, an absolute path with no dot
+# segments / empty segments / escapes / spaces / params / query / fragment.
+# For such inputs every stage of the slow pipeline is the identity, so the
+# regex match IS the canonicalization. Kept conservative on purpose; the
+# property test (tests/test_urlkit.py) cross-checks it against the slow path
+# over the full corpus URL population.
+_CANONICAL_FAST = re.compile(
+    r"^(?:http|https|ftp)://"
+    r"[a-z0-9-]+(?:\.[a-z0-9-]+)+"          # lowercase reg-name host
+    r"/(?:[a-z0-9_-]+(?:\.[a-z0-9_-]+)*/)*"  # segments; dots only inside names
+    r"(?:[a-z0-9_-]+(?:\.[a-z0-9_-]+)*)?$"   # final segment
+)
+
+
 def canonicalize(href: str, context: Optional[str] = None) -> Optional[str]:
     """Reference ``URLCanonicalizer.getCanonicalURL``.  Returns the canonical
     URL string, or ``None`` for an invalid/unsupported URL."""
     if href is None:
         return None
+    if _CANONICAL_FAST.match(href):
+        return href
     try:
         resolved = resolve_url("" if context is None else context, href)
     except ValueError:

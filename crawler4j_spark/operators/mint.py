@@ -42,6 +42,9 @@ def mint_docids(
     )
     w = Window.partitionBy("mint_bucket").orderBy("process_seq", "within_order")
     df = df.withColumn("local_rank", F.row_number().over(w))
+    # the count action below and the caller's write both consume df: persist
+    # so the upstream (bloom probe + anti-join) computes once
+    df = df.persist()
 
     counts = (
         df.groupBy("mint_bucket").count().orderBy("mint_bucket").collect()
@@ -82,6 +85,7 @@ def ordered_rank(
     df = df.withColumn("_ob", bucket_col.cast("long"))
     w = Window.partitionBy("_ob").orderBy(*order_cols)
     df = df.withColumn("_lr", F.row_number().over(w))
+    df = df.persist()  # consumed by the count below AND the caller's write
     counts = df.groupBy("_ob").count().orderBy("_ob").collect()
     offsets, acc = {}, base
     for r in counts:

@@ -294,6 +294,14 @@ class CrawlEngine:
         """Execute one crawl round; returns round metrics. No-op ({}) when
         the frontier is empty (termination condition, SURVEY §2.8)."""
         t0 = time.time()
+        phases: dict[str, float] = {}
+        _last = [t0]
+
+        def mark(name: str) -> None:
+            now = time.time()
+            phases[name] = round(now - _last[0], 2)
+            _last[0] = now
+
         cfg, sim = self.cfg, self.cfg.sim
         head_files, _rest = self.store.files_overlapping_head(
             "frontier", ["priority", "depth", "docid"], cfg.round_size)
@@ -321,6 +329,7 @@ class CrawlEngine:
                 F.col("slot") <= cfg.max_host_slots_per_round)
         claimed_entries = self.store.stage_dataframe(
             slotted, stats_cols=["docid"])
+        mark("claim_slots")
         slotted = self.store.read("frontier_claimed_tmp", files=claimed_entries)
         if cfg.url_rewrite is not None:
             slotted = cfg.url_rewrite(slotted)
@@ -335,7 +344,9 @@ class CrawlEngine:
         # exactly once per round. Claimed is broadcast (tiny vs corpus).
         fetched = slotted.join(self.corpus(),
                                slotted.url == F.col("doc_id"), "left")
-        fetched_entries = self.store.stage_dataframe(fetched.drop("doc_id"))
+        fetched_entries = self.store.stage_dataframe(
+            fetched.drop("doc_id").withColumn("round", F.lit(self.round)))
+        mark("fetch")
         fetched = self.store.read("fetched_tmp", files=fetched_entries)
 
         # --- redirect targets (raw, same depth — WebCrawler.java:399-430) ---
@@ -383,6 +394,7 @@ class CrawlEngine:
         # stage once: the candidate set feeds the bloom probe, the anti-join
         # AND the dedup-throughput metric without recomputing the parse
         cand_entries = self.store.stage_dataframe(candidates)
+        mark("parse_candidates")
         candidates = self.store.read("candidates_tmp", files=cand_entries)
         n_deduped = sum(e["rows"] for e in cand_entries)
         candidates = split_new_vs_maybe_seen(candidates, self._read("seen_bloom"))
@@ -400,6 +412,7 @@ class CrawlEngine:
         # --- mint docids in arrival order (J1 hard part) ---
         minted = mint_docids(fresh, self.last_docid, n_claimed, cfg.mint_buckets)
         minted_entries = self.store.stage_dataframe(minted)
+        mark("dedup_mint")
         minted = self.store.read("minted_tmp", files=minted_entries)
         n_minted = sum(e["rows"] for e in minted_entries)
 
@@ -437,37 +450,26 @@ class CrawlEngine:
         )
         admitted_entries = self.store.stage_dataframe(
             admitted, stats_cols=["priority", "depth", "docid"])
+        mark("gates_admit")
         n_admitted = sum(e["rows"] for e in admitted_entries)
 
-        # --- visited documents (S7): status-200, parse-allowed pages ---
-        visited = ok_pages.filter(
+        # --- visited documents + error channel via the fetch log (S7) ---
+        # The staged fetch result IS the per-round page log: committing its
+        # files as `fetch_log` (with a round column baked in at fetch time)
+        # gives the documents and errors tables as filtered *views* — two
+        # fewer materializations per round.
+        n_visited = ok_pages.filter(
             ~F.lower(F.col("content_type")).rlike("image|audio|video|application")
             | F.lit(sim.include_binary)
-        ).select(
-            F.col("url"), F.col("docid"), F.col("depth"),
-            F.col("seed_docid"), F.col("process_seq"),
-            F.lit(self.round).alias("round"),
-            F.col("content_type"), F.col("spans"),
-        )
-        visited_entries = self.store.stage_dataframe(visited)
-        n_visited = sum(e["rows"] for e in visited_entries)
-
-        # --- error channel (handlePageStatusCode / onPageBiggerThanMaxSize /
-        # onUnexpectedError routing, WebCrawler.java:170-231) ---
-        errors = fetched.select(
-            "url", "docid", "depth", "process_seq",
-            F.lit(self.round).alias("round"),
-            F.when(F.col("status_code").isNull(), F.lit(404))
-            .when((F.col("status_code") == 200)
-                  & (F.col("content_length") > sim.max_download_size),
-                  F.lit(PAGE_TOO_BIG))
-            .otherwise(F.col("status_code")).alias("status"),
-        ).filter(
-            (F.col("status") != 200)
-            & ~(F.col("status").isin(list(REDIRECT_CODES))
+        ).count()
+        mark("visited")
+        n_err = fetched.filter(
+            (F.col("status_code").isNull() | (F.col("status_code") != 200)
+             | (F.col("content_length") > sim.max_download_size))
+            & ~(F.col("status_code").isin(list(REDIRECT_CODES))
                 & F.lit(sim.follow_redirects))
-        )
-        error_entries = self.store.stage_dataframe(errors)
+        ).count()
+        mark("errors")
 
         # --- politeness carry + clock advance ---
         carry = new_host_carry(slotted, self.clock, sim.politeness_ms)
@@ -480,7 +482,8 @@ class CrawlEngine:
                 .filter(F.col("next_time") >= self.clock)   # prune expired
                 .unionByName(carry)
             )
-        host_entries = self.store.stage_dataframe(carry)
+        host_entries = self.store.stage_dataframe(carry.coalesce(1))
+        mark("politeness_carry")
         new_clock = self.clock + int(max_eff)
 
         # --- seen delta + bloom update ---
@@ -489,7 +492,8 @@ class CrawlEngine:
         bloom_new = update_blooms(
             seen_delta, self._read("seen_bloom"),
             cfg.n_seen_buckets, cfg.expected_urls_per_bucket)
-        bloom_entries = self.store.stage_dataframe(bloom_new)
+        bloom_entries = self.store.stage_dataframe(bloom_new.coalesce(4))
+        mark("bloom_update")
 
         # --- frontier: drop claimed rows (file-pruned rewrite) ---
         claimed_ids = slotted.select("docid")
@@ -505,6 +509,7 @@ class CrawlEngine:
                 remaining, stats_cols=["priority", "depth", "docid"])
         untouched = [e for e in frontier_files if e["path"] not in head_paths]
         frontier_entries = untouched + new_head_entries + admitted_entries
+        mark("frontier_rewrite")
 
         # --- seed-end events (J5 handleSeedEnd), incremental ---
         # seed_counts(seed_docid, cnt) = live pending rows per seed,
@@ -532,14 +537,16 @@ class CrawlEngine:
                  - F.coalesce(F.col("claimed_n"), F.lit(0))
                  + F.coalesce(F.col("admitted_n"), F.lit(0))).alias("cnt"))
         )
+        merged = merged.persist()
         seed_event_entries = self.store.stage_dataframe(
             merged.filter(F.col("cnt") <= 0)
-            .select("seed_docid", F.lit(self.round).alias("round")))
+            .select("seed_docid", F.lit(self.round).alias("round")).coalesce(1))
         seed_count_entries = self.store.stage_dataframe(
-            merged.filter(F.col("cnt") > 0))
+            merged.filter(F.col("cnt") > 0).coalesce(4))
+        mark("seed_events")
 
         # --- metrics (A1/A2) with per-partition lineage ---
-        n_errors = sum(e["rows"] for e in error_entries)
+        n_errors = n_err
         self.processed_pages += n_claimed
         self.scheduled_pages += n_admitted
         self.last_docid += n_minted
@@ -556,12 +563,12 @@ class CrawlEngine:
         metrics_entries = self.store.stage_dataframe(metrics_df)
 
         self.clock = new_clock
+        self.spark.catalog.clearCache()  # drop per-round persisted frames
         self.store.commit(
             adds={
                 "seen": seen_entries,
-                "documents": visited_entries,
+                "fetch_log": fetched_entries,
                 "metrics": metrics_entries,
-                "errors": error_entries,
                 "seed_events": seed_event_entries,
             },
             replaces={
@@ -590,6 +597,7 @@ class CrawlEngine:
             "visited": n_visited,
             "pending": self.frontier_pending(),
             "wall_sec": time.time() - t0,
+            "phases": phases,
         }
 
     def _props(self) -> dict:
@@ -617,10 +625,44 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- results
 
+    def documents(self) -> DataFrame | None:
+        """Visited-page log (S7): status-200, parse-allowed rows of the
+        fetch log, with their interleaved spans."""
+        log = self._read("fetch_log")
+        if log is None:
+            return None
+        sim = self.cfg.sim
+        return log.filter(
+            (F.col("status_code") == 200)
+            & (F.col("content_length") <= sim.max_download_size)
+            & (~F.lower(F.col("content_type"))
+               .rlike("image|audio|video|application")
+               | F.lit(sim.include_binary))
+        ).select("url", "docid", "depth", "seed_docid", "process_seq",
+                 "round", "content_type", "spans")
+
+    def errors_log(self) -> DataFrame | None:
+        """Error channel (status routing incl. 404/too-big)."""
+        log = self._read("fetch_log")
+        if log is None:
+            return None
+        sim = self.cfg.sim
+        return log.select(
+            "url", "docid", "depth", "process_seq", "round",
+            F.when(F.col("status_code").isNull(), F.lit(404))
+            .when((F.col("status_code") == 200)
+                  & (F.col("content_length") > sim.max_download_size),
+                  F.lit(PAGE_TOO_BIG))
+            .otherwise(F.col("status_code")).alias("status"),
+        ).filter(
+            (F.col("status") != 200)
+            & ~(F.col("status").isin(list(REDIRECT_CODES))
+                & F.lit(sim.follow_redirects)))
+
     def visited_log(self):
         """Visited pages ordered by (round, process_seq) — the engine's
         crawl order for parity checks."""
-        docs = self._read("documents")
+        docs = self.documents()
         if docs is None:
             return None
         return docs.orderBy("round", "process_seq")

@@ -68,7 +68,7 @@ def assert_parity(sim, eng):
     assert eng.last_docid == sim.last_docid
 
     # (e) error channel parity (status-code routing incl. 404/too-big)
-    err_df = eng.store.read("errors")
+    err_df = eng.errors_log()
     eng_errors = set()
     if err_df is not None:
         eng_errors = {(r["url"], r["status"])

@@ -133,7 +133,7 @@ def test_hot_host_claim_cap(spark, tmp_path):
     assert eng.frontier_pending() == 0
     # no round claimed more than 5 URLs of any single host
     claimed_caps = []
-    docs = eng.store.read("documents")
+    docs = eng.documents()
     from pyspark.sql import functions as F
     by_host_round = (
         docs.groupBy("round", F.expr("substring_index(substring_index(url, '/', 3), '//', -1)").alias("h"))
@@ -147,8 +147,8 @@ def test_hot_host_claim_cap(spark, tmp_path):
     eng2 = CrawlEngine(spark, str(tmp_path / "nocap"), corpus_df, robots_df, cfg2)
     eng2.add_seeds(gen.seeds)
     eng2.crawl(max_rounds=300)
-    v1 = {r["url"] for r in eng.store.read("documents").select("url").collect()}
-    v2 = {r["url"] for r in eng2.store.read("documents").select("url").collect()}
+    v1 = {r["url"] for r in eng.documents().select("url").collect()}
+    v2 = {r["url"] for r in eng2.documents().select("url").collect()}
     assert v1 == v2
 
 
@@ -173,7 +173,7 @@ def test_scale_mode_same_visited_set(spark, tmp_path):
     eng = CrawlEngine(spark, str(tmp_path / "scale"), corpus_df, robots_df, cfg)
     eng.add_seeds(gen.seeds)
     eng.crawl(max_rounds=300)
-    got = {r["url"] for r in eng.store.read("documents").select("url").collect()}
+    got = {r["url"] for r in eng.documents().select("url").collect()}
     want = {v["url"] for v in sim.visited}
     assert got == want
     assert eng.frontier_pending() == 0

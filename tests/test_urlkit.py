@@ -155,3 +155,43 @@ def test_load_tld_file(tmp_path):
     assert s == frozenset({"ac.jp", "weird.suffix"})
     d, sub, _ = split_domain("http://a.b.weird.suffix/x", s)
     assert d == "b.weird.suffix" and sub == "a"
+
+
+def test_fast_path_equals_slow_path():
+    """The canonical-form fast path must agree with the full pipeline on a
+    large, adversarial URL population (every href shape the generators
+    emit, plus canonical outputs round-tripped)."""
+    import crawler4j_spark.functions.urlkit as uk
+    from crawler4j_spark.sources.corpus import CorpusSpec, generate_corpus
+
+    def slow(href, context=None):
+        # bypass the fast path by calling through a temporarily-disabled
+        # matcher
+        orig = uk._CANONICAL_FAST
+        uk._CANONICAL_FAST = type("never", (), {"match": staticmethod(lambda s: None)})()
+        try:
+            return uk.canonicalize(href, context)
+        finally:
+            uk._CANONICAL_FAST = orig
+
+    gen = generate_corpus(CorpusSpec(n_pages=150, n_hosts=6, seed=3))
+    hrefs = set()
+    for p in gen.pages:
+        hrefs.add(p.url)
+        for _k, _t, media, _o in p.spans:
+            if media:
+                hrefs.add(media)
+    # include canonical outputs themselves (idempotence property)
+    outs = {uk.canonicalize(h) for h in list(hrefs)[:500] if uk.canonicalize(h)}
+    hrefs |= {o for o in outs if o}
+    hrefs |= {
+        "http://x.com/a/../b.html", "http://x.com//a//b", "http://X.com/A",
+        "https://x.com:443/q", "http://x.com/p?b=2&a=1", "http://x.com/.",
+        "http://x.com/a/./b", "http://x.com/a.b.c/d.html", "http://x.com",
+        "http://x.com/trailing/", "http://x.com/%7Euser/", "ftp://f.com/x",
+    }
+    checked = 0
+    for h in sorted(hrefs):
+        assert uk.canonicalize(h) == slow(h), h
+        checked += 1
+    assert checked > 300
