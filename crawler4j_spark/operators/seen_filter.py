@@ -137,9 +137,21 @@ def update_blooms(
 def split_new_vs_maybe_seen(
     candidates: DataFrame,        # must carry: url, bucket (+ payload cols)
     blooms: DataFrame | None,
+    broadcast_threshold_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Adds ``maybe_seen: boolean``. No bloom row for a bucket ⇒ nothing of
-    that bucket was ever inserted ⇒ definitely new."""
+    that bucket was ever inserted ⇒ definitely new.
+
+    Two physical strategies:
+    * **broadcast probe** (default when the bitmaps fit the threshold): the
+      bloom sidecar is tiny relative to the candidate stream — ship the
+      bitmaps to every worker and probe inside a shuffle-free
+      ``mapInPandas``. The candidate stream is never exchanged just to be
+      probed; only bloom-"maybe" rows pay the anti-join shuffle later.
+    * **cogrouped probe** (frontier scale, e.g. 8192 buckets × 1.5 MB =
+      12 GB of bitmaps): shuffle candidates to their bucket and join each
+      bucket's bitmap in a cogrouped ``applyInPandas`` — one Arrow group
+      per bucket, nothing broadcast."""
     spark = candidates.sparkSession
     if blooms is None:
         return candidates.withColumn("maybe_seen", F.lit(False))
@@ -147,6 +159,39 @@ def split_new_vs_maybe_seen(
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType())]
     )
+
+    sizes = blooms.select(
+        F.sum(F.octet_length("bits")).alias("b")).collect()[0]["b"] or 0
+    if sizes <= broadcast_threshold_bytes:
+        rows = blooms.collect()
+        bitmaps = {
+            int(r["bucket"]): (int(r["nbits"]),
+                               np.frombuffer(r["bits"], dtype=np.uint8))
+            for r in rows
+        }
+        bc = spark.sparkContext.broadcast(bitmaps)
+
+        def probe_stream(batches):
+            local = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = np.zeros(len(pdf), dtype=bool)
+                buckets = pdf["bucket"].to_numpy()
+                urls = pdf["url"].reset_index(drop=True)
+                for b in np.unique(buckets):
+                    entry = local.get(int(b))
+                    idx = np.nonzero(buckets == b)[0]
+                    if entry is None:
+                        continue  # bucket never inserted → definitely new
+                    nbits, bitmap = entry
+                    pos = _bit_positions(urls.iloc[idx], nbits)
+                    out[idx] = _test_bits(bitmap, pos)
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = out
+                yield pdf
+
+        return candidates.mapInPandas(probe_stream, out_schema)
 
     def probe(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand_pdf) == 0:

@@ -398,6 +398,9 @@ class CrawlEngine:
         candidates = self.store.read("candidates_tmp", files=cand_entries)
         n_deduped = sum(e["rows"] for e in cand_entries)
         candidates = split_new_vs_maybe_seen(candidates, self._read("seen_bloom"))
+        # both branches below consume the probed set: persist so the bloom
+        # probe (and its upstream) runs once
+        candidates = candidates.persist()
 
         seen = self._read("seen")
         if seen is not None:
