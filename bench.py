@@ -49,7 +49,7 @@ SPECS = {
     "default": dict(
         corpus=dict(seed=1234, n_hosts=128, n_pages=400_000, zipf_s=1.1,
                     fanout=10),
-        n_seeds=12_000, round_size=100_000, max_rounds=8, depth=8),
+        n_seeds=12_000, round_size=100_000, max_rounds=5, depth=8),
     "scale": dict(
         corpus=dict(seed=1234, n_hosts=256, n_pages=1_500_000, zipf_s=1.1,
                     fanout=10),

@@ -18,10 +18,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 __all__ = [
