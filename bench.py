@@ -268,7 +268,7 @@ def main() -> None:
     if not args.skip_frontier:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--parallelism", str(cpus)],
+             "--parallelism", str(cpus), "--tmpfs"],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         frontier = json.loads(out.stdout.strip().splitlines()[-1])
