@@ -378,7 +378,8 @@ no global sorts, no single-partition stages anywhere in the scale path
 # ---------------------------------------------------------------------------
 
 DEDUP_BENCH = dict(n_candidates=40_000_000, n_universe=12_000_000,
-                   n_seen=6_000_000, n_buckets=256, trap_frac=0.5, seed=7)
+                   n_seen=6_000_000, n_buckets=256, trap_frac=0.5, seed=7,
+                   bloom_hash="xxhash64-v2")  # invalidates stale bitmaps
 
 
 def _dedup_inputs(spark):

@@ -30,8 +30,6 @@ The bloom parameters target ~1% FPP at ``expected_per_bucket`` insertions
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -69,15 +67,22 @@ BLOOM_SCHEMA = StructType([
 ])
 
 
-def _bit_positions(urls: pd.Series, nbits: int) -> np.ndarray:
-    """(len(urls), K) array of bloom bit positions; md5-derived double
-    hashing (h1 + i*h2) — deterministic across engines and runs."""
-    h1 = np.empty(len(urls), dtype=np.uint64)
-    h2 = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.md5(u.encode("utf-8", "surrogatepass")).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little") | 1
+def with_bloom_hashes(df: DataFrame, url_col: str) -> DataFrame:
+    """Bloom double-hashing seeds computed JVM-side (codegen xxhash64 with
+    two salts) — the Python probe/update then does only numpy arithmetic,
+    never a per-row hashing loop."""
+    return df.withColumn(
+        "bh1", F.xxhash64(F.col(url_col), F.lit(0x5EED1))
+    ).withColumn(
+        "bh2", F.xxhash64(F.col(url_col), F.lit(0x5EED2))
+    )
+
+
+def _bit_positions(h1s, h2s, nbits: int) -> np.ndarray:
+    """(n, K) bloom bit positions from precomputed 64-bit hash columns
+    (h1 + i*(h2|1)) — pure numpy, deterministic."""
+    h1 = np.asarray(h1s, dtype=np.int64).view(np.uint64)
+    h2 = np.asarray(h2s, dtype=np.int64).view(np.uint64) | np.uint64(1)
     ks = np.arange(_K_HASHES, dtype=np.uint64)
     return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(nbits)
 
@@ -121,14 +126,15 @@ def update_blooms(
             nbits = default_nbits
             bitmap = np.zeros(nbits // 8, dtype=np.uint8)
         if len(urls_pdf) > 0:
-            pos = _bit_positions(urls_pdf["url"], nbits)
+            pos = _bit_positions(urls_pdf["bh1"], urls_pdf["bh2"], nbits)
             _set_bits(bitmap, pos.reshape(-1))
         return pd.DataFrame(
             {"bucket": [bucket], "nbits": [nbits], "bits": [bitmap.tobytes()]}
         )
 
     return (
-        new_urls.select("url", "bucket").groupBy("bucket")
+        with_bloom_hashes(new_urls, "url").select("bucket", "bh1", "bh2")
+        .groupBy("bucket")
         .cogroup(blooms.groupBy("bucket"))
         .applyInPandas(merge, BLOOM_SCHEMA)
     )
@@ -170,6 +176,7 @@ def split_new_vs_maybe_seen(
             for r in rows
         }
         bc = spark.sparkContext.broadcast(bitmaps)
+        drop_cols = ["bh1", "bh2"]
 
         def probe_stream(batches):
             local = bc.value
@@ -178,37 +185,40 @@ def split_new_vs_maybe_seen(
                     continue
                 out = np.zeros(len(pdf), dtype=bool)
                 buckets = pdf["bucket"].to_numpy()
-                urls = pdf["url"].reset_index(drop=True)
+                bh1 = pdf["bh1"].to_numpy()
+                bh2 = pdf["bh2"].to_numpy()
                 for b in np.unique(buckets):
                     entry = local.get(int(b))
                     idx = np.nonzero(buckets == b)[0]
                     if entry is None:
                         continue  # bucket never inserted → definitely new
                     nbits, bitmap = entry
-                    pos = _bit_positions(urls.iloc[idx], nbits)
+                    pos = _bit_positions(bh1[idx], bh2[idx], nbits)
                     out[idx] = _test_bits(bitmap, pos)
-                pdf = pdf.copy()
+                pdf = pdf.drop(columns=drop_cols)
                 pdf["maybe_seen"] = out
                 yield pdf
 
-        return candidates.mapInPandas(probe_stream, out_schema)
+        return with_bloom_hashes(candidates, "url").mapInPandas(
+            probe_stream, out_schema)
 
     def probe(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand_pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         if len(bloom_pdf) == 0:
-            cand_pdf = cand_pdf.copy()
+            cand_pdf = cand_pdf.drop(columns=["bh1", "bh2"])
             cand_pdf["maybe_seen"] = False
             return cand_pdf
         nbits = int(bloom_pdf["nbits"].iloc[0])
         bitmap = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
-        pos = _bit_positions(cand_pdf["url"], nbits)
-        cand_pdf = cand_pdf.copy()
-        cand_pdf["maybe_seen"] = _test_bits(bitmap, pos)
+        pos = _bit_positions(cand_pdf["bh1"], cand_pdf["bh2"], nbits)
+        out = _test_bits(bitmap, pos)
+        cand_pdf = cand_pdf.drop(columns=["bh1", "bh2"])
+        cand_pdf["maybe_seen"] = out
         return cand_pdf
 
     return (
-        candidates.groupBy("bucket")
+        with_bloom_hashes(candidates, "url").groupBy("bucket")
         .cogroup(blooms.groupBy("bucket"))
         .applyInPandas(probe, out_schema)
     )
