@@ -22,6 +22,8 @@ __all__ = [
     "normalize_anchor",
     "has_binary_content",
     "has_plain_text_content",
+    "charset_from_content_type",
+    "decode_content",
     "MAX_ANCHOR_LENGTH",
 ]
 
@@ -78,3 +80,39 @@ def has_binary_content(content_type: str | None) -> bool:
 def has_plain_text_content(content_type: str | None) -> bool:
     t = (content_type or "").lower()
     return "text" in t and "html" not in t
+
+
+# --- X8 charset handling (crawler/Page.java:129-135, parser/Parser.java:
+# 79-82,162-171) ------------------------------------------------------------
+
+_CHARSET_PARAM = re.compile(r";\s*charset\s*=\s*\"?([^\";\s]+)\"?", re.I)
+
+
+def charset_from_content_type(content_type: str | None) -> str | None:
+    """The ``charset=`` parameter of a Content-Type header value, or None
+    when absent/unknown — Page.java:129-131 (httpclient ContentType.
+    getOrDefault(entity).getCharset() is null when the header carries no
+    charset parameter)."""
+    if not content_type:
+        return None
+    m = _CHARSET_PARAM.search(content_type)
+    if m is None:
+        return None
+    name = m.group(1).strip()
+    import codecs
+
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None  # unknown charset name -> treated as absent
+    return name
+
+
+def decode_content(data: bytes | None, charset: str | None) -> str:
+    """Parser.java:79-82,162-167: ``new String(bytes, charset)``; a null
+    charset falls back to the platform default (UTF-8 here). Java's String
+    decoder replaces malformed input with U+FFFD — ``errors='replace'`` is
+    the exact equivalent."""
+    if data is None:
+        return ""
+    return data.decode(charset or "utf-8", errors="replace")

@@ -408,8 +408,11 @@ def canonicalize(href: str, context: Optional[str] = None) -> Optional[str]:
                 return None  # MalformedURLException
             port = int(port_s)
     host = host.lower()
-    if host == "":
-        return None
+    # Reference quirk: URLCanonicalizer's `if (host == "")` is a Java
+    # reference comparison on a non-interned substring — it is never true, so
+    # the reference KEEPS empty-host URLs parsed from an explicit '//'
+    # authority (e.g. href='///path' -> 'http:///path'). We replicate that:
+    # no empty-host rejection here.
 
     # java URL.getPath(): path plus ";params" is part of the file; the
     # reference's URL.getPath() keeps params (";jsessionid=..." stays in path)
@@ -533,6 +536,10 @@ def split_domain(
     domain = url[start:end]
     subdomain = ""
     parts = domain.split(".")
+    # java String.split("\\.") drops trailing empty strings: a trailing-dot
+    # host ("example.com.") yields ["example","com"], not ["example","com",""]
+    while parts and parts[-1] == "":
+        parts.pop()
     if len(parts) > 2:
         domain = parts[-2] + "." + parts[-1]
         limit = 2

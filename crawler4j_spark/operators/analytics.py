@@ -465,7 +465,9 @@ def q_robots_prefix_gate(spark, sf_dir):
 @register("text_url_extract", None)  # kernel regex has no SQL equivalent
 def q_text_url_extract(spark, sf_dir):
     """X2: quirky URL regex extraction from plain text (rows-only check; the
-    Java-regex port is unit-tested in tests/test_netkit.py).
+    Java-regex port is unit-tested in tests/test_netkit.py). Output is
+    posexploded to (doc_id, pos, url) rows — scalar columns only, so the
+    driver's hash-compare (pandas sort_values) can canonicalize it.
     Ref: util/Net.java:19-48."""
     import pandas as pd  # noqa: F811
     from pyspark.sql.types import ArrayType, StringType
@@ -483,7 +485,7 @@ def q_text_url_extract(spark, sf_dir):
                  (F.col("doc_id") % 25).cast("string"),
                  F.lit(".com/x and also "), F.col("text")).alias("text"))
     return with_urls.select(
-        "doc_id", extract_udf(F.col("text")).alias("urls"))
+        "doc_id", F.posexplode(extract_udf(F.col("text"))).alias("pos", "url"))
 
 
 # ---------------------------------------------------------------------------
@@ -622,25 +624,25 @@ FROM votes GROUP BY doc_id
 def q_dedup_simhash(spark, sf_dir):
     """SimHash (16-bit) per document over distinct tokens: majority vote per
     bit of the token hashes. Near-dups share low-Hamming signatures; the
-    signature is grouping-key material at scale (no pairwise pass)."""
+    signature is grouping-key material at scale (no pairwise pass).
+
+    Scale shape: ONE hash aggregation over the token stream — all 16 bit
+    votes are parallel conditional-sum aggregates in the same groupBy (full
+    map-side combine), not a 16× crossJoin row explosion."""
     toks = _tokens(spark, sf_dir, max_doc=200).select("doc_id", "tok").distinct()
     hashed = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h"))
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        hashed.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(
-            F.when(F.expr("(h >> bit) & 1") == 1, 1)
-            .otherwise(-1)).alias("v"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)"))
-            .otherwise(0)).cast("long").alias("simhash"))
-    )
+    votes = hashed.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(16)
+    ])
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 @register("dedup_ngram_jaccard",
@@ -1042,3 +1044,439 @@ def q_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))
     return docs.mapInPandas(decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-2: oracle rows for the previously parity-only operators
+# (S1, S2, F3, F4, F12, J2, J4, O5, X4, X8 — VERDICT.md round-1 item 2).
+# The span-pipeline queries run the REAL engine kernel (operators/parse.
+# extract_candidates → functions/spans.outlink_candidates) over a synthetic
+# interleaved-span table derived from lineitem; the oracle reconstructs the
+# expected output with pure SQL on the restricted (relative, pre-canonical)
+# href family, so any drift in the kernel shows up as a hash mismatch.
+# ---------------------------------------------------------------------------
+
+
+def _span_pages(spark, sf_dir, href_expr, junk: bool):
+    """Synthetic interleaved-span pages: page = o_orderkey % 311, one link
+    span per order row (offset = o_orderkey — globally unique, so document
+    order is total). With ``junk`` three of four spans carry a filtered
+    href (javascript:/mailto:/'@' — Parser.java:138-144)."""
+    oo = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 311).alias("page"),
+        F.col("o_orderkey").alias("o"))
+    if junk:
+        media = (
+            F.when(F.col("o") % 4 == 0, F.lit("javascript:void(0)"))
+            .when(F.col("o") % 4 == 1, F.lit("MAILTO:user@example.com"))
+            .when(F.col("o") % 4 == 3, F.lit("ref user@host"))
+            .otherwise(href_expr)
+        )
+    else:
+        media = href_expr
+    spans = oo.select(
+        "page",
+        F.struct(
+            F.lit("a").alias("kind"),
+            F.concat(F.lit("anchor-"), F.col("o").cast("string")).alias("text"),
+            media.alias("media_ref"),
+            F.col("o").cast("int").alias("offset"),
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("page")
+        .agg(F.collect_list("span").alias("spans"))
+        .select(
+            F.concat(F.lit("http://h"), (F.col("page") % 13).cast("string"),
+                     F.lit(".example.com/page/"),
+                     F.col("page").cast("string")).alias("url"),
+            F.col("page").alias("docid"),
+            F.lit(1).cast("int").alias("depth"),
+            F.lit(0).cast("long").alias("seed_docid"),
+            F.col("page").alias("process_seq"),
+            F.lit("text/html").alias("content_type"),
+            "spans",
+        )
+    )
+
+
+_SPAN_URL_SQL = (
+    "'http://h' || CAST(page % 13 AS VARCHAR) || '.example.com/item/'"
+)
+
+
+@register("junk_link_filter", """
+WITH links AS (
+  SELECT o_orderkey % 311 AS page, o_orderkey AS o
+  FROM orders WHERE o_orderkey % 4 = 2
+)
+SELECT page AS parent_docid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY page ORDER BY o) - 1 AS INT)
+           AS within_order,
+       """ + _SPAN_URL_SQL + """ || CAST(o AS VARCHAR) AS url,
+       'a' AS tag,
+       'anchor-' || CAST(o AS VARCHAR) AS anchor
+FROM links
+""")
+def q_junk_link_filter(spark, sf_dir):
+    """F3: empty/javascript:/mailto:/'@' hrefs are dropped before
+    canonicalization — run through the real parse kernel with 3 of 4 spans
+    junk. Ref: parser/Parser.java:138-144."""
+    from .parse import extract_candidates
+
+    href = F.concat(F.lit("/item/"), F.col("o").cast("string"))
+    pages = _span_pages(spark, sf_dir, href, junk=True)
+    return extract_candidates(pages, 5000, include_binary=False).select(
+        "parent_docid", "within_order", "url", "tag", "anchor")
+
+
+@register("outlink_cap", """
+WITH links AS (
+  SELECT o_orderkey % 311 AS page, o_orderkey AS o,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % 311 ORDER BY o_orderkey)
+             AS rn
+  FROM orders
+)
+SELECT page AS parent_docid,
+       CAST(rn - 1 AS INT) AS within_order,
+       """ + _SPAN_URL_SQL + """ || CAST(o AS VARCHAR) AS url,
+       'a' AS tag,
+       'anchor-' || CAST(o AS VARCHAR) AS anchor
+FROM links WHERE rn <= 4
+""")
+def q_outlink_cap(spark, sf_dir):
+    """O5: the outgoing-link cap counts candidates BEFORE the break check
+    (`urlCount++; if (urlCount > max) break;`), so max_outlinks=3 keeps up
+    to FOUR candidates per page — the reference's off-by-one, reproduced by
+    the real kernel and asserted by the oracle's `rn <= 4`.
+    Ref: parser/Parser.java:152-155."""
+    from .parse import extract_candidates
+
+    href = F.concat(F.lit("/item/"), F.col("o").cast("string"))
+    pages = _span_pages(spark, sf_dir, href, junk=False)
+    return extract_candidates(pages, 3, include_binary=False).select(
+        "parent_docid", "within_order", "url", "tag", "anchor")
+
+
+@register("within_page_dedup", """
+WITH links AS (
+  SELECT o_orderkey % 311 AS page, o_orderkey AS o, o_orderkey % 2 AS pk
+  FROM orders
+),
+firsts AS (
+  SELECT page, pk, MIN(o) AS first_o
+  FROM links GROUP BY page, pk
+)
+SELECT page AS parent_docid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY page ORDER BY first_o) - 1
+            AS INT) AS within_order,
+       """ + _SPAN_URL_SQL + """ || CAST(pk AS VARCHAR) AS url,
+       'a' AS tag,
+       'anchor-' || CAST(first_o AS VARCHAR) AS anchor
+FROM firsts
+""")
+def q_within_page_dedup(spark, sf_dir):
+    """J2: within-page dedup keeps the FIRST occurrence (document order) of
+    each canonical URL — href family collapses to 2 targets per page, so the
+    kernel's HashSet-add semantics (tag/anchor/order of the first span) are
+    fully exercised. Ref: parser/Parser.java:123,151 (HashSet<WebURL>.add)."""
+    from .parse import extract_candidates
+
+    href = F.concat(F.lit("/item/"), (F.col("o") % 2).cast("string"))
+    pages = _span_pages(spark, sf_dir, href, junk=False)
+    return extract_candidates(pages, 5000, include_binary=False).select(
+        "parent_docid", "within_order", "url", "tag", "anchor")
+
+
+@register("seed_pipeline", """
+WITH raw AS (
+  SELECT c_custkey AS k,
+         'http://seed' || CAST(c_custkey % 11 AS VARCHAR)
+           || '.example.com/s/' || CAST(c_custkey % 400 AS VARCHAR) AS url
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+firsts AS (SELECT url, MIN(k) AS fk FROM raw GROUP BY url)
+SELECT url,
+       ROW_NUMBER() OVER (ORDER BY fk) AS docid,
+       CAST(0 AS INT) AS depth
+FROM firsts
+""")
+def q_seed_pipeline(spark, sf_dir):
+    """S1: seed injection — canonicalize (real kernel UDF; invalid seeds
+    like mailto: rejected), first-occurrence dedup, docids in arrival order,
+    depth 0. Ref: crawler/CrawlController.java:305-380 (addSeed)."""
+    from ..functions.udfs import canonicalize_udf
+
+    raw = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0,
+               F.concat(F.lit("mailto:cust"), F.col("c_custkey").cast("string"),
+                        F.lit("@example.com")))
+        .otherwise(F.concat(
+            F.lit("http://SEED"), (F.col("c_custkey") % 11).cast("string"),
+            F.lit(".Example.COM/s/"), (F.col("c_custkey") % 400).cast("string"),
+        )).alias("raw_url"))
+    canon = raw.select(
+        "c_custkey", canonicalize_udf(F.col("raw_url")).alias("url")
+    ).filter(F.col("url").isNotNull())
+    firsts = canon.groupBy("url").agg(F.min("c_custkey").alias("fk"))
+    w = Window.orderBy("fk")
+    return firsts.select(
+        "url", F.row_number().over(w).cast("long").alias("docid"),
+        F.lit(0).cast("int").alias("depth"))
+
+
+@register("warm_start_register", """
+WITH pairs AS (
+  SELECT c_custkey AS docid,
+         'http://w' || CAST(c_custkey % 9 AS VARCHAR) || '.example.com/w/'
+           || CAST(c_custkey % 300 AS VARCHAR) AS url,
+         c_custkey % 300 AS m
+  FROM customer
+),
+firsts AS (
+  SELECT url, MIN(docid) AS docid, MIN(m) AS m FROM pairs GROUP BY url
+)
+SELECT url, docid FROM firsts WHERE m % 5 <> 0
+""")
+def q_warm_start_register(spark, sf_dir):
+    """S2: warm-start bulk registration (CrawlController.addSeenUrl) — the
+    scale shape of engine.add_seen_urls: first-occurrence per canonical URL,
+    anti-join against the already-seen set (broadcast build side = the
+    batch), monotone-docid admission vacuous on a docid-ordered dump.
+    Ref: crawler/CrawlController.java:388-401; plans/engine.py
+    add_seen_urls."""
+    pairs = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("docid"),
+        F.concat(F.lit("http://w"), (F.col("c_custkey") % 9).cast("string"),
+                 F.lit(".example.com/w/"),
+                 (F.col("c_custkey") % 300).cast("string")).alias("url"))
+    firsts = pairs.groupBy("url").agg(F.min("docid").alias("docid"))
+    # previously-seen set: the url family members whose path id is % 5 == 0
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 300) % 5 == 0)
+        .select(F.concat(
+            F.lit("http://w"), (F.col("c_custkey") % 9).cast("string"),
+            F.lit(".example.com/w/"),
+            (F.col("c_custkey") % 300).cast("string")).alias("url"))
+        .distinct()
+    )
+    return firsts.join(F.broadcast(seen), "url", "left_anti")
+
+
+@register("should_visit_gate", """
+WITH urls AS (
+  SELECT p_partkey,
+         'http://host' || CAST(p_partkey % 9 AS VARCHAR) || '.example.com/f/'
+           || CAST(p_partkey AS VARCHAR) ||
+           CASE CAST(p_partkey % 6 AS INT)
+             WHEN 0 THEN '.html' WHEN 1 THEN '.css' WHEN 2 THEN '.js'
+             WHEN 3 THEN '.png' WHEN 4 THEN '.pdf' ELSE '' END AS url
+  FROM part
+)
+SELECT p_partkey, url FROM urls
+WHERE NOT regexp_matches(url, '\\.(css|js|gif|jpe?g|png|mp3|mp4|zip|gz|pdf)$')
+""")
+def q_should_visit_gate(spark, sf_dir):
+    """F4: shouldVisit extension-filter gate — the canonical crawler4j
+    example (BasicCrawler.FILTERS): reject static-resource extensions. Same
+    rlike the engine applies for cfg.should_visit_pattern.
+    Ref: crawler/WebCrawler.java:438-446 (default true; user override)."""
+    urls = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("http://host"), (F.col("p_partkey") % 9).cast("string"),
+            F.lit(".example.com/f/"), F.col("p_partkey").cast("string"),
+            F.when(F.col("p_partkey") % 6 == 0, ".html")
+            .when(F.col("p_partkey") % 6 == 1, ".css")
+            .when(F.col("p_partkey") % 6 == 2, ".js")
+            .when(F.col("p_partkey") % 6 == 3, ".png")
+            .when(F.col("p_partkey") % 6 == 4, ".pdf")
+            .otherwise(""),
+        ).alias("url"))
+    return urls.filter(
+        ~F.col("url").rlike(r"\.(css|js|gif|jpe?g|png|mp3|mp4|zip|gz|pdf)$"))
+
+
+@register("url_rewrite_hook", """
+SELECT o_orderkey AS docid,
+       regexp_replace(
+         'http://h' || CAST(o_orderkey % 40 AS VARCHAR)
+           || '.example.com/o/' || CAST(o_orderkey AS VARCHAR)
+           || '?session=abc&page=' || CAST(o_orderkey % 5 AS VARCHAR),
+         'session=[^&]*&', '') AS url
+FROM orders
+""")
+def q_url_rewrite_hook(spark, sf_dir):
+    """F12: handleUrlBeforeProcess — a user-supplied DataFrame→DataFrame
+    rewrite applied to the claimed batch before fetch (the engine calls
+    cfg.url_rewrite(slotted); this query invokes a sample hook through the
+    same contract). Ref: crawler/WebCrawler.java:183-185; plans/engine.py
+    url_rewrite."""
+    def sample_rewrite(df: DataFrame) -> DataFrame:
+        # strip a session-tracking query param, keep the rest
+        return df.withColumn(
+            "url", F.regexp_replace("url", r"session=[^&]*&", ""))
+
+    claimed = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("docid"),
+        F.concat(F.lit("http://h"), (F.col("o_orderkey") % 40).cast("string"),
+                 F.lit(".example.com/o/"), F.col("o_orderkey").cast("string"),
+                 F.lit("?session=abc&page="),
+                 (F.col("o_orderkey") % 5).cast("string")).alias("url"))
+    hook = sample_rewrite  # EngineConfig.url_rewrite contract
+    return hook(claimed)
+
+
+@register("robots_cache_lookup", _FRONTIER_CTE + """
+, paths AS (
+  SELECT host, docid,
+         CASE CAST(docid % 3 AS INT)
+           WHEN 0 THEN '/private/x' || CAST(docid AS VARCHAR)
+           WHEN 1 THEN '/public/y' || CAST(docid AS VARCHAR)
+           ELSE '/' END AS path
+  FROM frontier
+),
+rules AS (SELECT 'h' || CAST(r AS VARCHAR) AS host FROM RANGE(0, 20) t(r))
+SELECT p.host, p.path,
+       CASE WHEN r.host IS NULL THEN TRUE
+            ELSE NOT (p.path LIKE '/private/%') END AS allowed
+FROM paths p LEFT JOIN rules r ON p.host = r.host
+""")
+def q_robots_cache_lookup(spark, sf_dir):
+    """J4: robots cache lookup — host→directives left join; a host with no
+    cached directives allows everything (RobotstxtServer.allows returns
+    true on cache miss in this fork's flow). Runs the REAL robots_allow_udf
+    over the joined rule arrays. Ref: robotstxt/RobotstxtServer.java:79-107,
+    plans/engine.py robots gate."""
+    from ..functions.udfs import robots_allow_udf
+
+    fr = _frontier(spark, sf_dir)
+    paths = fr.select(
+        "host", "docid",
+        F.when(F.col("docid") % 3 == 0,
+               F.concat(F.lit("/private/x"), F.col("docid").cast("string")))
+        .when(F.col("docid") % 3 == 1,
+              F.concat(F.lit("/public/y"), F.col("docid").cast("string")))
+        .otherwise("/").alias("path"))
+    rules = spark.range(0, 20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.array().cast("array<string>").alias("gen_disallow"),
+        F.array().cast("array<string>").alias("gen_allow"),
+        F.array(F.lit("/private/")).alias("spec_disallow"),
+        F.array().cast("array<string>").alias("spec_allow"))
+    joined = paths.join(F.broadcast(rules), "host", "left")
+    return joined.select(
+        "host", "path",
+        robots_allow_udf(
+            F.col("path"), F.col("gen_disallow"), F.col("gen_allow"),
+            F.col("spec_disallow"), F.col("spec_allow")).alias("allowed"))
+
+
+# Expected rows for the robots-parser fixtures below, derived from the
+# reference-parity unit suite (tests/test_robots.py mirrors
+# robotstxt/RobotstxtParser.java:37-110). Shape: one row per parsed rule.
+_ROBOTS_FIXTURES = [
+    ("f1", "User-agent: crawler4j\nDisallow: /private/\n"
+           "Allow: /private/open/\nDisallow: /tmp\n"),
+    ("f2", "User-agent: *\nDisallow: /search\nAllow: /search/about\n"),
+    ("f3", "# comment\n\nUser-AGENT: Crawler4J\nDisallow: /a\n\n"
+           "User-agent: *\nDisallow: /b\n"),
+    ("f4", "User-agent: crawler4j\nDisallow: /x/\nDisallow:\n"),
+    ("f5", "User-agent: other\nDisallow: /\n"),
+    ("f6", ""),
+]
+
+_ROBOTS_FIXTURE_ORACLE = """
+SELECT * FROM (VALUES
+  ('f1', 'spec_disallow', 0, '/private/'),
+  ('f1', 'spec_disallow', 1, '/tmp'),
+  ('f1', 'spec_allow',    0, '/private/open/'),
+  ('f2', 'gen_disallow',  0, '/search'),
+  ('f2', 'gen_allow',     0, '/search/about'),
+  ('f3', 'spec_disallow', 0, '/a'),
+  ('f3', 'gen_disallow',  0, '/b'),
+  ('f4', 'spec_disallow', 0, '/x/')
+) AS t(fixture, rule_kind, pos, path)
+"""
+
+
+@register("robots_parse_fixture", _ROBOTS_FIXTURE_ORACLE)
+def q_robots_parse_fixture(spark, sf_dir):
+    """X4: the robots.txt parser itself — fixture bodies through the real
+    Arrow-batched parse UDF, rule arrays posexploded to rows, compared
+    against literal expected rules (hand-derived from the reference parser's
+    behavior: case-insensitive UA match, comment/blank skip, exact-UA
+    sections split from general '*', empty Disallow ignored).
+    Ref: robotstxt/RobotstxtParser.java:37-110."""
+    from ..functions.udfs import parse_robots_udf_factory
+
+    parse_udf = parse_robots_udf_factory("crawler4j")
+    bodies = spark.createDataFrame(_ROBOTS_FIXTURES, "fixture string, body string")
+    parsed = bodies.withColumn("rules", parse_udf(F.col("body")))
+    parts = []
+    for kind in ("gen_disallow", "gen_allow", "spec_disallow", "spec_allow"):
+        parts.append(parsed.select(
+            "fixture", F.lit(kind).alias("rule_kind"),
+            F.posexplode(F.col(f"rules.{kind}")).alias("pos", "path")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register("charset_decode", """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'ISO-8859-1'
+            WHEN doc_id % 3 = 1 THEN 'UTF-8' ELSE NULL END AS charset,
+       'café ü§é ' || text AS decoded
+FROM documents WHERE doc_id < 500
+""")
+def q_charset_decode(spark, sf_dir):
+    """X8: charset handling — raw payload bytes decoded with the charset=
+    parameter of the Content-Type header (ISO-8859-1 / UTF-8 / absent →
+    platform default). The payload is encoded with the SAME charset the
+    header declares, so a correct decode round-trips the text; decoding
+    latin-1 bytes as UTF-8 would corrupt the non-ASCII prefix and fail the
+    hash compare. Runs the real netkit kernels (charset_from_content_type +
+    decode_content) through an Arrow-batched UDF.
+    Ref: crawler/Page.java:129-135, parser/Parser.java:79-82,162-171."""
+    from typing import Iterator as _It
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions.netkit import charset_from_content_type, decode_content
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("text/plain; charset=ISO-8859-1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit('text/plain; charset="UTF-8"'))
+        .otherwise(F.lit("text/plain")).alias("content_type"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.encode(F.concat(F.lit("café ü§é "), F.col("text")),
+                        "ISO-8859-1"))
+        .otherwise(
+            F.encode(F.concat(F.lit("café ü§é "), F.col("text")), "UTF-8"))
+        .alias("content_data"))
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("charset", StringType()),
+        StructField("decoded", StringType()),
+    ])
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                cs = charset_from_content_type(r.content_type)
+                rows.append(
+                    (r.doc_id, cs, decode_content(bytes(r.content_data), cs)))
+            yield pd.DataFrame(rows, columns=["doc_id", "charset", "decoded"])
+
+    return pages.mapInPandas(gen, out_schema)

@@ -32,7 +32,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.netkit import extract_urls, has_binary_content, has_plain_text_content
+from ..functions.netkit import (
+    charset_from_content_type,
+    decode_content,
+    extract_urls,
+    has_binary_content,
+    has_plain_text_content,
+)
 from ..functions.spans import body_text, outlink_candidates
 
 __all__ = ["extract_candidates", "CANDIDATE_SCHEMA"]
@@ -72,7 +78,16 @@ def extract_candidates(
                         continue  # NotAllowedContent: no outlinks, no visit
                     # binary page: no outlinks (Tika path out of scope)
                 elif has_plain_text_content(ctype):
-                    for i, raw in enumerate(extract_urls(body_text(spans))):
+                    data = getattr(r, "content_data", None)
+                    if data is not None:
+                        # X8: new String(contentData, charset from the
+                        # Content-Type header) — Parser.java:79-82,
+                        # Page.java:129-135
+                        text = decode_content(
+                            bytes(data), charset_from_content_type(ctype))
+                    else:
+                        text = body_text(spans)
+                    for i, raw in enumerate(extract_urls(text)):
                         cands.append((raw, "", "", i))
                 else:
                     for c in outlink_candidates(r.url, spans, max_outlinks):
@@ -86,4 +101,6 @@ def extract_candidates(
 
     cols = ["url", "docid", "depth", "seed_docid", "process_seq",
             "content_type", "spans"]
+    if "content_data" in fetched.columns:  # X8 raw-payload pages
+        cols.append("content_data")
     return fetched.select(*cols).mapInPandas(gen, CANDIDATE_SCHEMA)

@@ -109,9 +109,12 @@ def update_blooms(
     n_buckets: int,
     expected_per_bucket: int,
 ) -> DataFrame:
-    """New bloom rows for buckets receiving inserts (cogrouped
-    applyInPandas: one group = one bucket). Union with untouched buckets is
-    the caller's job (it knows which buckets changed)."""
+    """Complete replacement bloom set (cogrouped applyInPandas: one group =
+    one bucket). The cogroup's full-outer grouping passes untouched existing
+    buckets through unchanged (merge handles an empty urls_pdf), so the
+    result contains ALL buckets — existing plus newly touched. Do NOT union
+    the result with the old bloom rows: that would duplicate bucket rows and
+    make the probe's iloc[0] read an arbitrary bitmap."""
     spark = new_urls.sparkSession
     default_nbits = bloom_nbits(expected_per_bucket)
     if blooms is None:

@@ -112,6 +112,11 @@ class EngineConfig:
     # computes the politeness process order via the two-stage rank.
     exact_claim: bool = True
     dense_seq_distributed: bool = False
+    # J4 robots TTL on the engine's virtual clock. The default replicates
+    # the fork's HostDirectives.java:28 bug — 24*60*1000L is 24 MINUTES
+    # (the comment claims 24 hours). Use 24*3600*1000 for the intended
+    # value, or None to disable refresh entirely (round-1 behavior).
+    robots_ttl_ms: int | None = 24 * 60 * 1000
 
     def __post_init__(self) -> None:
         if self.sim is None:
@@ -141,16 +146,14 @@ class CrawlEngine:
                 )
                 self.store.commit(replaces={"corpus": entries})
         if robots_df is not None and "robots_rules" not in self.store.manifest()["tables"]:
-            rules = robots_df.withColumn(
-                "rules", self._parse_robots_udf(F.col("body"))
-            ).select(
-                "host",
-                F.col("rules.gen_disallow").alias("gen_disallow"),
-                F.col("rules.gen_allow").alias("gen_allow"),
-                F.col("rules.spec_disallow").alias("spec_disallow"),
-                F.col("rules.spec_allow").alias("spec_allow"),
-            )
-            self.store.commit(replaces={"robots_rules": self.store.stage_dataframe(rules)})
+            # raw bodies persisted too: the TTL refresh (HostDirectives.java:
+            # 25-41) refetches from this table — the simulated transport.
+            rules = self._parse_rules(robots_df, fetched_at=0)
+            self.store.commit(replaces={
+                "robots_rules": self.store.stage_dataframe(rules),
+                "robots_bodies": self.store.stage_dataframe(
+                    robots_df.select("host", "body")),
+            })
 
         # scalar checkpoint state
         self.round = int(props.get("round", 0))
@@ -158,11 +161,67 @@ class CrawlEngine:
         self.scheduled_pages = int(props.get("scheduled_pages", 0))
         self.processed_pages = int(props.get("processed_pages", 0))
         self.clock = int(props.get("clock", 0))
+        self._robots_refreshed_at = int(props.get("robots_refreshed_at", 0))
 
     # ------------------------------------------------------------------ io
 
     def _read(self, table: str) -> DataFrame | None:
         return self.store.read(table)
+
+    def _parse_rules(self, bodies: DataFrame, fetched_at: int) -> DataFrame:
+        """(host, body) -> robots_rules rows via the Arrow-batched parser
+        UDF, stamped with the fetch time for TTL accounting."""
+        return bodies.withColumn(
+            "rules", self._parse_robots_udf(F.col("body"))
+        ).select(
+            "host",
+            F.col("rules.gen_disallow").alias("gen_disallow"),
+            F.col("rules.gen_allow").alias("gen_allow"),
+            F.col("rules.spec_disallow").alias("spec_disallow"),
+            F.col("rules.spec_allow").alias("spec_allow"),
+            F.lit(fetched_at).cast("long").alias("fetched_at"),
+        )
+
+    def set_robots_bodies(self, robots_df: DataFrame) -> None:
+        """Replace the simulated robots transport (the web changed). Cached
+        rules keep serving until their TTL expires — exactly the reference's
+        HostDirectives behavior."""
+        self.store.commit(replaces={
+            "robots_bodies": self.store.stage_dataframe(
+                robots_df.select("host", "body"))})
+
+    def refresh_robots(self) -> int:
+        """J4 TTL refresh (HostDirectives.java:25-41): re-fetch + re-parse
+        directives older than ``robots_ttl_ms`` on the engine clock. The
+        default TTL replicates the fork's 24*60*1000L bug (24 MINUTES — the
+        comment says 24 hours); set robots_ttl_ms=24*3600*1000 for the
+        intended behavior. Returns the number of hosts refreshed.
+
+        Scale shape: expired hosts are found by a column filter on the rules
+        table, re-parsed via the Arrow-batched UDF from the bodies table
+        (inner join pruned to expired hosts), and swapped in with an
+        anti-join — no driver-side collect of either table."""
+        ttl = self.cfg.robots_ttl_ms
+        rules = self._read("robots_rules")
+        bodies = self._read("robots_bodies")
+        if rules is None or bodies is None or ttl is None:
+            return 0
+        expired_hosts = rules.filter(
+            F.lit(self.clock) - F.col("fetched_at") > F.lit(ttl)
+        ).select("host")
+        refreshed = self._parse_rules(
+            bodies.join(F.broadcast(expired_hosts), "host", "left_semi"),
+            fetched_at=self.clock)
+        # hosts whose robots vanished from the web drop out of the cache;
+        # kept rows = not-expired ∪ refreshed
+        n_refreshed = refreshed.count()
+        if n_refreshed == 0:
+            return 0
+        kept = rules.join(F.broadcast(expired_hosts), "host", "left_anti")
+        entries = self.store.stage_dataframe(kept.unionByName(refreshed))
+        self.store.commit(replaces={"robots_rules": entries},
+                          props=self._props())
+        return n_refreshed
 
     def corpus(self) -> DataFrame:
         df = self._read("corpus")
@@ -174,13 +233,31 @@ class CrawlEngine:
     def add_seen_urls(self, pairs: list[tuple[str, int]]) -> int:
         """S2 warm start (CrawlController.addSeenUrl): bulk-register
         URL→docid mappings (e.g. from a previous crawl) without scheduling.
-        Returns the number registered; updates the docid high-water mark."""
+        Returns the number registered; updates the docid high-water mark.
+
+        Scale shape: membership of the batch's URLs in ``seen`` is computed
+        with a left-semi join (batch broadcast as build side, seen table
+        streamed) — driver memory is O(|pairs|), never O(|seen|). The
+        accept/reject walk itself is sequential by spec (each accepted docid
+        raises the high-water mark for later pairs), so it runs driver-side
+        over the (tiny) batch."""
         from ..functions.urlkit import canonicalize as _canon
 
+        canon_pairs = [(_canon(url), docid) for url, docid in pairs]
+        existing: set[str] = set()
+        batch = sorted({c for c, _ in canon_pairs if c})
+        if batch and self.store.table_files("seen"):
+            batch_df = self.spark.createDataFrame(
+                [(u,) for u in batch], "url string")
+            existing = {
+                r["url"]
+                for r in self._read("seen").join(
+                    F.broadcast(batch_df), "url", "left_semi"
+                ).select("url").collect()
+            }
+
         rows, hwm = [], self.last_docid
-        existing = set(self.seen_map()) if self.store.table_files("seen") else set()
-        for url, docid in pairs:
-            canon = _canon(url)
+        for canon, docid in canon_pairs:
             if canon is None or canon in existing or docid <= hwm:
                 continue
             rows.append((canon, docid))
@@ -207,27 +284,46 @@ class CrawlEngine:
         (S1/S2). ``seeds``: [{url, priority, doc_id_override}] in order.
         Returns the assigned docids (−1 for rejected), driver-side — the
         seed list is tiny relative to the frontier."""
+        from ..functions.robots import arrays_allow
+
+        # Canonicalize up front so the robots/seen lookups below can be
+        # pruned to exactly the seed batch's hosts/URLs. Both lookups are
+        # left-semi joins with the (tiny, driver-provided) seed batch as the
+        # broadcast build side: the robots/seen tables are streamed, never
+        # collected — only the matching rows (≤ |seeds|) come back.
+        canons = [urlkit.canonicalize(s["url"]) for s in seeds]
+
         robots = self._read("robots_rules")
         robots_map: dict[str, tuple] = {}
         if robots is not None and self.cfg.sim.robots_enabled:
-            for r in robots.collect():
-                robots_map[r["host"]] = (
-                    list(r["gen_disallow"]), list(r["gen_allow"]),
-                    list(r["spec_disallow"]), list(r["spec_allow"]),
-                )
-        from ..functions.robots import arrays_allow
+            hosts = sorted({h for h in (
+                urlkit.url_host(c) for c in canons if c) if h})
+            if hosts:
+                hosts_df = self.spark.createDataFrame(
+                    [(h,) for h in hosts], "host string")
+                for r in robots.join(
+                        F.broadcast(hosts_df), "host", "left_semi").collect():
+                    robots_map[r["host"]] = (
+                        list(r["gen_disallow"]), list(r["gen_allow"]),
+                        list(r["spec_disallow"]), list(r["spec_allow"]),
+                    )
 
         seen_urls: dict[str, int] = {}
         seen_df = self._read("seen")
         if seen_df is not None:
-            for r in seen_df.collect():  # warm-start path; tiny in round 0
-                seen_urls[r["url"]] = r["docid"]
+            batch = sorted({c for c in canons if c})
+            if batch:
+                batch_df = self.spark.createDataFrame(
+                    [(u,) for u in batch], "url string")
+                for r in seen_df.join(
+                        F.broadcast(batch_df), "url", "left_semi"
+                        ).select("url", "docid").collect():
+                    seen_urls[r["url"]] = r["docid"]
 
         results: list[int] = []
         rows: list[tuple] = []
         new_seen: list[tuple[str, int]] = []
-        for s in seeds:
-            canon = urlkit.canonicalize(s["url"])
+        for s, canon in zip(seeds, canons):
             if canon is None:
                 results.append(-1)
                 continue
@@ -303,6 +399,12 @@ class CrawlEngine:
             _last[0] = now
 
         cfg, sim = self.cfg, self.cfg.sim
+        # J4 TTL: at most one refresh check per TTL window (O(1) driver-side
+        # clock test; the actual expired-host scan only runs when due)
+        if (sim.robots_enabled and cfg.robots_ttl_ms is not None
+                and self.clock - self._robots_refreshed_at > cfg.robots_ttl_ms):
+            self.refresh_robots()
+            self._robots_refreshed_at = self.clock
         head_files, _rest = self.store.files_overlapping_head(
             "frontier", ["priority", "depth", "docid"], cfg.round_size)
         frontier_head = self.store.read("frontier", files=head_files)
@@ -341,11 +443,36 @@ class CrawlEngine:
         # --- simulated fetch: claimed ⋈ corpus (S5) ---
         # Staged once: every downstream consumer (redirects, parse, visited)
         # reads the staged fetch result, so the big corpus scan happens
-        # exactly once per round. Claimed is broadcast (tiny vs corpus).
-        fetched = slotted.join(self.corpus(),
-                               slotted.url == F.col("doc_id"), "left")
-        fetched_entries = self.store.stage_dataframe(
-            fetched.drop("doc_id").withColumn("round", F.lit(self.round)))
+        # exactly once per round. Join shape chosen for a corpus ≫ broadcast
+        # threshold: the tiny claimed batch must be the BUILD side, which a
+        # left-outer join (claimed stream-preserved) cannot express — Spark
+        # would have to build/shuffle the corpus. Instead: inner broadcast
+        # join with claimed as build side (one streaming pass over the
+        # corpus, no exchange), then the unmatched remainder via a broadcast
+        # anti-join against the ≤round_size hit set, unioned back as
+        # fetch-miss (404-shaped) rows. At production scale the fetch is a
+        # transport UDF; this is the simulated path's scale-safe shape.
+        corpus = self.corpus()
+        hits = (
+            corpus.join(F.broadcast(slotted),
+                        F.col("doc_id") == slotted.url, "inner")
+            .drop("doc_id").withColumn("round", F.lit(self.round))
+        )
+        hit_entries = self.store.stage_dataframe(hits)
+        hits = self.store.read("fetched_tmp", files=hit_entries)
+        # Remainder (URL absent from the corpus -> fetch miss / 404 path):
+        # anti-join against the ≤round_size staged hit set (broadcast build),
+        # never against the corpus.
+        misses = slotted.join(
+            F.broadcast(hits.select(F.col("url").alias("_hit_url"))),
+            slotted.url == F.col("_hit_url"), "left_anti")
+        for name, dtype in corpus.dtypes:
+            if name != "doc_id":
+                misses = misses.withColumn(name, F.lit(None).cast(dtype))
+        misses = misses.withColumn("round", F.lit(self.round))
+        miss_entries = self.store.stage_dataframe(
+            misses.select(*hits.columns))
+        fetched_entries = hit_entries + miss_entries
         mark("fetch")
         fetched = self.store.read("fetched_tmp", files=fetched_entries)
 
@@ -430,7 +557,8 @@ class CrawlEngine:
         robots = self._read("robots_rules")
         if robots is not None and sim.robots_enabled:
             admissible = (
-                admissible.join(F.broadcast(robots), "host", "left")
+                admissible.join(F.broadcast(robots.drop("fetched_at")),
+                                "host", "left")
                 .withColumn("rpath", path_udf(F.col("url")))
                 .filter(robots_allow_udf(
                     F.col("rpath"), F.col("gen_disallow"), F.col("gen_allow"),
@@ -466,11 +594,13 @@ class CrawlEngine:
             | F.lit(sim.include_binary)
         ).count()
         mark("visited")
+        # Redirect statuses never reach the error channel regardless of
+        # follow_redirects: WebCrawler.java invokes no error handler for 3xx
+        # (refsim.py records nothing either way).
         n_err = fetched.filter(
             (F.col("status_code").isNull() | (F.col("status_code") != 200)
              | (F.col("content_length") > sim.max_download_size))
-            & ~(F.col("status_code").isin(list(REDIRECT_CODES))
-                & F.lit(sim.follow_redirects))
+            & ~F.col("status_code").isin(list(REDIRECT_CODES))
         ).count()
         mark("errors")
 
@@ -610,6 +740,7 @@ class CrawlEngine:
             "scheduled_pages": self.scheduled_pages,
             "processed_pages": self.processed_pages,
             "clock": self.clock,
+            "robots_refreshed_at": self._robots_refreshed_at,
         }
 
     def crawl(self, max_rounds: int = 10_000) -> list[dict]:
@@ -658,9 +789,10 @@ class CrawlEngine:
                   F.lit(PAGE_TOO_BIG))
             .otherwise(F.col("status_code")).alias("status"),
         ).filter(
+            # 3xx never hits the error channel, even with follow_redirects
+            # off (WebCrawler.java calls no error handler for redirects).
             (F.col("status") != 200)
-            & ~(F.col("status").isin(list(REDIRECT_CODES))
-                & F.lit(sim.follow_redirects)))
+            & ~F.col("status").isin(list(REDIRECT_CODES)))
 
     def visited_log(self):
         """Visited pages ordered by (round, process_seq) — the engine's

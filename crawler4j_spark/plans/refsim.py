@@ -39,7 +39,13 @@ import heapq
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from ..functions.netkit import extract_urls, has_binary_content, has_plain_text_content
+from ..functions.netkit import (
+    charset_from_content_type,
+    decode_content,
+    extract_urls,
+    has_binary_content,
+    has_plain_text_content,
+)
 from ..functions.robots import HostDirectives, parse_robots, robots_allows
 from ..functions.spans import body_text, outlink_candidates
 from ..functions.urlkit import canonicalize, url_host, url_path
@@ -79,6 +85,10 @@ class CorpusPage:
     content_length: int = 0
     # (kind, text, media_ref, offset) in document order — input_hint shape
     spans: list[tuple[str, Optional[str], Optional[str], int]] = field(default_factory=list)
+    # X8: raw undecoded payload (Page.contentData). When set, the parse
+    # stage decodes it with the Content-Type header's charset= parameter
+    # (Page.java:129-135, Parser.java:79-82) instead of reading spans.
+    content_data: Optional[bytes] = None
 
 
 class SimCorpus:
@@ -355,7 +365,13 @@ class RefSim:
                 return  # NotAllowedContentException: no visit, no schedule
             # binary page: no outlinks modeled (Tika path out of scope)
         elif has_plain_text_content(ctype):
-            text = body_text(page.spans)
+            if page.content_data is not None:
+                # X8: new String(contentData, contentCharset) —
+                # Parser.java:79-82 with charset from Page.java:129-135
+                text = decode_content(
+                    page.content_data, charset_from_content_type(ctype))
+            else:
+                text = body_text(page.spans)
             for raw in extract_urls(text):
                 outlinks.append(_WebUrl(url=raw, tag="", anchor=""))
         else:

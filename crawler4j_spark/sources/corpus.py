@@ -72,6 +72,7 @@ class GeneratedCorpus:
                 "redirect_to": p.redirect_to,
                 "content_type": p.content_type,
                 "content_length": p.content_length,
+                "content_data": p.content_data,
             })
         return out
 
@@ -196,6 +197,16 @@ def generate_corpus(spec: CorpusSpec | None = None) -> GeneratedCorpus:
             words = rng.sample(_WORDS, 6)
             text = " ".join(words[:3]) + " " + \
                 " see ".join(targets) + " " + " ".join(words[3:])
+            if rng.random() < 0.5:
+                # X8 charset page: raw ISO-8859-1 payload (non-ASCII chars),
+                # decoded by the parse stage from the charset= header param
+                text = "café ü§é " + text
+                data = text.encode("iso-8859-1")
+                pages.append(CorpusPage(
+                    url=u, status_code=200,
+                    content_type="text/plain; charset=ISO-8859-1",
+                    content_length=len(data), spans=[], content_data=data))
+                continue
             spans = [("text", text, None, 0)]
             pages.append(CorpusPage(
                 url=u, status_code=200, content_type="text/plain",

@@ -21,6 +21,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BinaryType,
     ArrayType,
     IntegerType,
     LongType,
@@ -43,6 +44,8 @@ CORPUS_SCHEMA = StructType([
     StructField("redirect_to", StringType()),
     StructField("content_type", StringType()),
     StructField("content_length", LongType()),
+    # X8: raw undecoded payload; None for span-modeled pages
+    StructField("content_data", BinaryType()),
 ])
 
 _WORDS = (
@@ -99,17 +102,17 @@ def generate_corpus_spark(
                 if r < 0.05:  # redirect
                     target, _ = _url_for(rng.randrange(total), bounds)
                     rows.append((url, [], rng.choice([301, 302, 307]),
-                                 target, "text/html", 0))
+                                 target, "text/html", 0, None))
                     continue
                 if r < 0.10:  # binary
                     rows.append((url, [],
                                  200, None,
                                  rng.choice(["image/png", "application/pdf"]),
-                                 rng.randrange(1000, 50_000)))
+                                 rng.randrange(1000, 50_000), None))
                     continue
                 if r < 0.11:  # too big
                     rows.append((url, [], 200, None,
-                                 "text/html; charset=UTF-8", 2_000_000))
+                                 "text/html; charset=UTF-8", 2_000_000, None))
                     continue
                 # html page with interleaved spans
                 spans = []
@@ -135,11 +138,12 @@ def generate_corpus_spark(
                                   "media_ref": href, "offset": off})
                     off += 1
                 rows.append((url, spans, 200, None,
-                             "text/html; charset=UTF-8", 64 * len(spans)))
+                             "text/html; charset=UTF-8", 64 * len(spans),
+                             None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "spans", "status_code",
                                "redirect_to", "content_type",
-                               "content_length"])
+                               "content_length", "content_data"])
 
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     return (

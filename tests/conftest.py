@@ -19,24 +19,9 @@ def spark():
 
 def make_corpus_dfs(spark, gen):
     """GeneratedCorpus → (corpus_df, robots_df) Spark DataFrames."""
-    from pyspark.sql.types import (
-        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
-    )
+    from crawler4j_spark.sources.corpus_spark import CORPUS_SCHEMA
 
-    corpus_schema = StructType([
-        StructField("doc_id", StringType()),
-        StructField("spans", ArrayType(StructType([
-            StructField("kind", StringType()),
-            StructField("text", StringType()),
-            StructField("media_ref", StringType()),
-            StructField("offset", IntegerType()),
-        ]))),
-        StructField("status_code", IntegerType()),
-        StructField("redirect_to", StringType()),
-        StructField("content_type", StringType()),
-        StructField("content_length", LongType()),
-    ])
-    corpus_df = spark.createDataFrame(gen.pages_records(), corpus_schema)
+    corpus_df = spark.createDataFrame(gen.pages_records(), CORPUS_SCHEMA)
     robots_df = spark.createDataFrame(
         gen.robots_records(), "host string, body string")
     return corpus_df, robots_df

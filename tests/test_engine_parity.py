@@ -141,3 +141,67 @@ def test_parity_should_visit_pattern(spark, tmp_path):
     eng = run_engine(spark, tmp_path, gen, sim_cfg,
                      should_visit_pattern=pattern2)
     assert_parity(sim2, eng)
+
+
+@pytest.mark.slow
+def test_parity_no_follow_redirects(spark, tmp_path):
+    # redirects are neither followed nor errors (WebCrawler.java invokes no
+    # error handler for 3xx regardless of followRedirects)
+    gen = generate_corpus(CorpusSpec(n_pages=120, n_hosts=5, seed=59,
+                                     frac_redirect=0.15))
+    sim_cfg = SimConfig(max_depth=3, follow_redirects=False)
+    sim = run_sim(gen, sim_cfg)
+    eng = run_engine(spark, tmp_path, gen, sim_cfg)
+    assert len(sim.visited) > 10
+    assert_parity(sim, eng)
+
+
+@pytest.mark.slow
+def test_parity_charset_pages(spark, tmp_path):
+    # X8: heavy text/plain mix → many ISO-8859-1 raw-payload pages whose
+    # outlinks come from decode_content(charset_from_content_type(...))
+    gen = generate_corpus(CorpusSpec(n_pages=120, n_hosts=5, seed=67,
+                                     frac_text=0.5))
+    n_charset = sum(1 for p in gen.pages if p.content_data is not None)
+    assert n_charset > 5, "fixture must contain charset pages"
+    sim_cfg = SimConfig(max_depth=4)
+    sim = run_sim(gen, sim_cfg)
+    eng = run_engine(spark, tmp_path, gen, sim_cfg)
+    assert len(sim.visited) > 10
+    assert_parity(sim, eng)
+
+
+def test_robots_ttl_refresh(spark, tmp_path):
+    # J4 TTL (HostDirectives.java:25-41, the fork's 24-minute quirk scaled
+    # down): rules serve from cache until the virtual clock passes the TTL,
+    # then refresh_robots re-fetches from the (changed) transport table.
+    gen = generate_corpus(CorpusSpec(n_pages=60, n_hosts=3, seed=7))
+    sim_cfg = SimConfig(max_depth=2, politeness_ms=100)
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    cfg = EngineConfig(sim=sim_cfg, round_size=25, n_seen_buckets=8,
+                       expected_urls_per_bucket=2000, mint_buckets=4,
+                       robots_ttl_ms=1_000)
+    eng = CrawlEngine(spark, str(tmp_path / "store"), corpus_df, robots_df, cfg)
+    eng.add_seeds(gen.seeds)
+    eng.run_round()
+
+    # the web changes: every robots host now blocks everything
+    hosts = sorted(gen.robots)
+    assert hosts, "fixture must have robots hosts"
+    block = spark.createDataFrame(
+        [(h, "User-agent: crawler4j\nDisallow: /\n") for h in hosts],
+        "host string, body string")
+    eng.set_robots_bodies(block)
+
+    # not expired yet -> refresh is a no-op (cache keeps serving)
+    eng.clock = 500
+    assert eng.refresh_robots() == 0
+
+    # past the TTL -> all hosts re-fetched, stamped with the new clock
+    eng.clock = 5_000
+    assert eng.refresh_robots() == len(hosts)
+    rules = {r["host"]: r for r in eng.store.read("robots_rules").collect()}
+    assert set(rules) == set(hosts)
+    for h in hosts:
+        assert rules[h]["fetched_at"] == 5_000
+        assert list(rules[h]["spec_disallow"]) == ["/"]

@@ -45,3 +45,25 @@ def test_content_type_classifiers():
     assert has_plain_text_content("text/plain")
     assert not has_plain_text_content("text/html; charset=UTF-8")
     assert not has_plain_text_content("application/json")
+
+
+def test_charset_from_content_type():
+    from crawler4j_spark.functions.netkit import charset_from_content_type as cs
+    assert cs("text/html; charset=UTF-8") == "UTF-8"
+    assert cs("text/plain; charset=ISO-8859-1") == "ISO-8859-1"
+    assert cs('text/plain; charset="iso-8859-1"') == "iso-8859-1"
+    assert cs("text/plain;charset=Shift_JIS") == "Shift_JIS"
+    assert cs("text/html") is None
+    assert cs(None) is None
+    assert cs("") is None
+    assert cs("text/html; charset=not-a-real-charset") is None
+
+
+def test_decode_content():
+    from crawler4j_spark.functions.netkit import decode_content as dec
+    assert dec("café ü".encode("iso-8859-1"), "ISO-8859-1") == "café ü"
+    assert dec("café".encode("utf-8"), None) == "café"  # platform default
+    assert dec("日本語".encode("shift_jis"), "Shift_JIS") == "日本語"
+    # malformed input -> U+FFFD replacement, like java.lang.String
+    assert "�" in dec(b"\xff\xfe caf\xe9", "utf-8")
+    assert dec(None, "UTF-8") == ""

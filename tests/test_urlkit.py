@@ -58,7 +58,6 @@ def test_canonicalize_invalid():
     assert canonicalize("javascript:void(0)") is None
     assert canonicalize("nota url") is None
     assert canonicalize("relative/only.html") is None  # no context
-    assert canonicalize("http://") is None
     assert canonicalize("http://host:notaport/x") is None
     # literal space in path -> java new URI(path) throws -> rejected
     assert canonicalize("http://x.com/a b.html") is None
@@ -71,6 +70,22 @@ def test_canonicalize_more_relative():
     assert canonicalize("//other.com/z", "https://x.com/a") == "https://other.com/z"
     assert canonicalize("", "http://x.com/a/a.html") == "http://x.com/a/a.html"
     assert canonicalize("#frag", "http://x.com/a/a.html") == "http://x.com/a/a.html"
+
+
+def test_canonicalize_empty_host_quirk():
+    # URLCanonicalizer's `if (host == "")` is a Java reference comparison on
+    # a non-interned substring — never true — so the reference KEEPS
+    # empty-host URLs with an explicit '//' authority.
+    assert canonicalize("http://") == "http:///"
+    assert canonicalize("http:///path") == "http:///path"
+    assert canonicalize("///path", "http://example.com/a") == "http:///path"
+
+
+def test_split_domain_trailing_dot_host():
+    # java String.split("\\.") drops trailing empty strings: a trailing-dot
+    # host has 2 (not 3) labels, so the full domain substring is kept.
+    assert split_domain("http://example.com./x") == ("example.com.", "", "/x")
+    assert split_domain("http://a.example.com./x") == ("example.com", "a", "/x")
 
 
 def test_session_id_params_stripped():
