@@ -9,6 +9,8 @@ engine share one executable definition of the semantics.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -34,31 +36,62 @@ __all__ = [
 ]
 
 
+# Batch-level prescreens: pandas str ops run in C over the whole Arrow
+# batch; only the rows that miss the provably-identity fast pattern fall
+# back to the per-element Python kernel. The canonicalize fast pattern is
+# property-tested against the slow path (tests/test_urlkit.py); the
+# host/path patterns are restricted to shapes where the capture IS the
+# kernel result (no userinfo/brackets/params, lowercase host).
+_SIMPLE_HOST = re.compile(
+    r"^[a-z][a-z0-9+.-]*://([a-z0-9.-]+)(?::\d+)?(?:[/?#]|$)")
+_SIMPLE_PATH = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#;]*(/[^?#;]*)?(?:[?#]|$)")
+
+
 @F.pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """URLCanonicalizer.getCanonicalURL(url) — null for invalid URLs."""
-    return urls.map(lambda u: urlkit.canonicalize(u) if u is not None else None)
+    mask = urls.str.match(urlkit._CANONICAL_FAST).eq(True)
+    out = urls.copy()
+    slow = ~mask
+    if slow.any():
+        out[slow] = urls[slow].map(
+            lambda u: urlkit.canonicalize(u) if u is not None else None)
+    return out
 
 
 @F.pandas_udf(StringType())
 def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
-    out = [
-        urlkit.canonicalize(h, c) if h is not None else None
-        for h, c in zip(hrefs, contexts)
-    ]
-    return pd.Series(out, dtype=object)
+    mask = hrefs.str.match(urlkit._CANONICAL_FAST).eq(True)
+    out = hrefs.copy()
+    slow = ~mask
+    if slow.any():
+        out[slow] = [
+            urlkit.canonicalize(h, c) if h is not None else None
+            for h, c in zip(hrefs[slow], contexts[slow])
+        ]
+    return out
 
 
 @F.pandas_udf(StringType())
 def host_udf(urls: pd.Series) -> pd.Series:
     """Politeness/robots key: lowercased host, falling back to the full URL
     string when unparseable (PageFetcher.java:219,236-239)."""
-    return urls.map(lambda u: (urlkit.url_host(u) or u) if u is not None else None)
+    fast = urls.str.extract(_SIMPLE_HOST, expand=False)
+    slow = fast.isna() & urls.notna()
+    if slow.any():
+        fast[slow] = urls[slow].map(lambda u: urlkit.url_host(u) or u)
+    return fast
 
 
 @F.pandas_udf(StringType())
 def path_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: urlkit.url_path(u) if u is not None else None)
+    matched = urls.str.match(_SIMPLE_PATH).eq(True)
+    out = urls.str.extract(_SIMPLE_PATH, expand=False).fillna("")
+    slow = ~matched & urls.notna()
+    if slow.any():
+        out[slow] = urls[slow].map(urlkit.url_path)
+    return out.where(urls.notna(), None)
 
 
 DOMAIN_STRUCT = StructType([

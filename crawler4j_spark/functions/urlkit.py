@@ -369,7 +369,12 @@ _CANONICAL_FAST = re.compile(
     r"^(?:http|https|ftp)://"
     r"[a-z0-9-]+(?:\.[a-z0-9-]+)+"          # lowercase reg-name host
     r"/(?:[a-z0-9_-]+(?:\.[a-z0-9_-]+)*/)*"  # segments; dots only inside names
-    r"(?:[a-z0-9_-]+(?:\.[a-z0-9_-]+)*)?$"   # final segment
+    r"(?:[a-z0-9_-]+(?:\.[a-z0-9_-]+)*)?"    # final segment
+    # optional single query param: key not a session id, unreserved chars
+    # only (percent-encoding is the identity), bare key or key=value — the
+    # one-param case is trivially key-sorted
+    r"(?:\?(?!(?:jsessionid|phpsessid|aspsessionid)(?:=|&|$))"
+    r"[a-z0-9][a-z0-9_.~-]*(?:=[a-z0-9_.~-]+)?)?$"
 )
 
 

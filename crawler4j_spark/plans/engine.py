@@ -30,6 +30,7 @@ broadcast robots/host-state joins, file-stat-pruned frontier claims.
 from __future__ import annotations
 
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -368,7 +369,8 @@ class CrawlEngine:
                     frontier_delta, stats_cols=["priority", "depth", "docid"])
                 adds["seed_counts"] = self.store.stage_dataframe(
                     frontier_delta.groupBy("seed_docid").agg(
-                        F.count("*").cast("long").alias("cnt")))
+                        F.count("*").cast("long").alias("cnt"))
+                    .withColumn("ended_round", F.lit(None).cast("int")))
             adds["seen"] = self.store.stage_dataframe(seen_delta)
             blooms = update_blooms(
                 seen_delta, self._read("seen_bloom"),
@@ -399,6 +401,9 @@ class CrawlEngine:
             _last[0] = now
 
         cfg, sim = self.cfg, self.cfg.sim
+        # per-round Spark job accounting (the fixed-cost diet's meter)
+        job_group = f"crawl-round-{uuid.uuid4().hex[:8]}"
+        self.spark.sparkContext.setJobGroup(job_group, job_group)
         # J4 TTL: at most one refresh check per TTL window (O(1) driver-side
         # clock test; the actual expired-host scan only runs when due)
         if (sim.robots_enabled and cfg.robots_ttl_ms is not None
@@ -588,25 +593,34 @@ class CrawlEngine:
         # The staged fetch result IS the per-round page log: committing its
         # files as `fetch_log` (with a round column baked in at fetch time)
         # gives the documents and errors tables as filtered *views* — two
-        # fewer materializations per round.
-        n_visited = ok_pages.filter(
+        # fewer materializations per round. All three per-round scalars
+        # (visited count, error count, politeness clock advance) come out of
+        # ONE aggregation job over the staged fetch files — fetched carries
+        # the slotted columns, so eff_time is available here too.
+        is_ok = ((F.col("status_code") == 200)
+                 & (F.col("content_length") <= sim.max_download_size))
+        visited_cond = is_ok & (
             ~F.lower(F.col("content_type")).rlike("image|audio|video|application")
-            | F.lit(sim.include_binary)
-        ).count()
-        mark("visited")
+            | F.lit(sim.include_binary))
         # Redirect statuses never reach the error channel regardless of
         # follow_redirects: WebCrawler.java invokes no error handler for 3xx
         # (refsim.py records nothing either way).
-        n_err = fetched.filter(
+        err_cond = (
             (F.col("status_code").isNull() | (F.col("status_code") != 200)
              | (F.col("content_length") > sim.max_download_size))
-            & ~F.col("status_code").isin(list(REDIRECT_CODES))
-        ).count()
-        mark("errors")
+            & ~F.col("status_code").isin(list(REDIRECT_CODES)))
+        srow = fetched.agg(
+            F.sum(F.when(visited_cond, 1).otherwise(0)).alias("n_visited"),
+            F.sum(F.when(err_cond, 1).otherwise(0)).alias("n_err"),
+            F.max("eff_time").alias("max_eff"),
+        ).collect()[0]
+        n_visited = int(srow["n_visited"] or 0)
+        n_err = int(srow["n_err"] or 0)
+        max_eff = srow["max_eff"] or 0
+        mark("round_scalars")
 
         # --- politeness carry + clock advance ---
         carry = new_host_carry(slotted, self.clock, sim.politeness_ms)
-        max_eff = slotted.agg(F.max("eff_time")).collect()[0][0] or 0
         old_state = self._read("host_state")
         if old_state is not None:
             # keep future entries of hosts not fetched this round
@@ -660,40 +674,43 @@ class CrawlEngine:
         old_counts = self._read("seed_counts")
         if old_counts is None:
             old_counts = self.spark.createDataFrame(
-                [], "seed_docid long, cnt long")
+                [], "seed_docid long, cnt long, ended_round int")
+        new_cnt = (F.coalesce(F.col("cnt"), F.lit(0))
+                   - F.coalesce(F.col("claimed_n"), F.lit(0))
+                   + F.coalesce(F.col("admitted_n"), F.lit(0)))
+        # ONE staged table carries both the live counts and the end events:
+        # ended_round is stamped the first round cnt reaches 0 and then
+        # sticks (exactly-once emission); seed_events() is a filtered view.
         merged = (
             old_counts.join(claimed_per_seed, "seed_docid", "outer")
             .join(admitted_per_seed, "seed_docid", "outer")
             .select(
                 "seed_docid",
-                (F.coalesce(F.col("cnt"), F.lit(0))
-                 - F.coalesce(F.col("claimed_n"), F.lit(0))
-                 + F.coalesce(F.col("admitted_n"), F.lit(0))).alias("cnt"))
+                new_cnt.alias("cnt"),
+                F.coalesce(
+                    F.col("ended_round"),
+                    F.when(new_cnt <= 0, F.lit(self.round)),
+                ).cast("int").alias("ended_round"))
         )
-        merged = merged.persist()
-        seed_event_entries = self.store.stage_dataframe(
-            merged.filter(F.col("cnt") <= 0)
-            .select("seed_docid", F.lit(self.round).alias("round")).coalesce(1))
-        seed_count_entries = self.store.stage_dataframe(
-            merged.filter(F.col("cnt") > 0).coalesce(4))
+        seed_count_entries = self.store.stage_dataframe(merged.coalesce(4))
         mark("seed_events")
 
         # --- metrics (A1/A2) with per-partition lineage ---
+        # Counters ride the commit manifest (no Spark write job): they are
+        # driver-known scalars, and the manifest history IS the metrics
+        # table — metrics() reconstructs the DataFrame on demand.
         n_errors = n_err
         self.processed_pages += n_claimed
         self.scheduled_pages += n_admitted
         self.last_docid += n_minted
-        metrics_rows = [
-            (self.round, "scheduled_pages", n_admitted),
-            (self.round, "processed_pages", n_claimed),
-            (self.round, "minted_docids", n_minted),
-            (self.round, "visited_pages", n_visited),
-            (self.round, "error_pages", n_errors),
-            (self.round, "deduped_candidates", n_deduped),
-        ]
-        metrics_df = self.spark.createDataFrame(
-            metrics_rows, "round int, counter string, value long")
-        metrics_entries = self.store.stage_dataframe(metrics_df)
+        counters = {
+            "scheduled_pages": n_admitted,
+            "processed_pages": n_claimed,
+            "minted_docids": n_minted,
+            "visited_pages": n_visited,
+            "error_pages": n_errors,
+            "deduped_candidates": n_deduped,
+        }
 
         self.clock = new_clock
         self.spark.catalog.clearCache()  # drop per-round persisted frames
@@ -701,8 +718,6 @@ class CrawlEngine:
             adds={
                 "seen": seen_entries,
                 "fetch_log": fetched_entries,
-                "metrics": metrics_entries,
-                "seed_events": seed_event_entries,
             },
             replaces={
                 "frontier": frontier_entries,
@@ -719,8 +734,11 @@ class CrawlEngine:
                 "n_claimed": n_claimed,
                 "n_minted": n_minted,
                 "n_admitted": n_admitted,
+                "counters": counters,
             },
         )
+        tracker = self.spark.sparkContext.statusTracker()
+        n_jobs = len(tracker.getJobIdsForGroup(job_group))
         return {
             "round": self.round,
             "claimed": n_claimed,
@@ -730,6 +748,7 @@ class CrawlEngine:
             "visited": n_visited,
             "pending": self.frontier_pending(),
             "wall_sec": time.time() - t0,
+            "jobs": n_jobs,
             "phases": phases,
         }
 
@@ -793,6 +812,29 @@ class CrawlEngine:
             # off (WebCrawler.java calls no error handler for redirects).
             (F.col("status") != 200)
             & ~F.col("status").isin(list(REDIRECT_CODES)))
+
+    def seed_events(self) -> DataFrame | None:
+        """J5 handleSeedEnd events as a filtered view over seed_counts:
+        one row (seed_docid, round) per seed whose offspring drained —
+        ended_round is stamped once and sticks, so emission is exactly-once
+        without a separate per-round event staging."""
+        counts = self._read("seed_counts")
+        if counts is None:
+            return None
+        return counts.filter(F.col("ended_round").isNotNull()).select(
+            "seed_docid", F.col("ended_round").alias("round"))
+
+    def metrics(self) -> DataFrame:
+        """A1/A3 counters table reconstructed from the commit-manifest
+        lineage (counters are driver-known scalars; writing them as a
+        per-round parquet job would be pure fixed cost)."""
+        rows = []
+        for lin in self.store.lineage_history():
+            rnd = lin.get("round")
+            for counter, value in (lin.get("counters") or {}).items():
+                rows.append((rnd, counter, value))
+        return self.spark.createDataFrame(
+            rows, "round int, counter string, value long")
 
     def visited_log(self):
         """Visited pages ordered by (round, process_seq) — the engine's

@@ -216,6 +216,18 @@ class SnapshotStore:
         self._write_manifest(new)
         return new["version"]
 
+    def lineage_history(self) -> list[dict]:
+        """Lineage dicts of every retained snapshot manifest, oldest first.
+        Manifests are tiny JSON; this is a driver-side metadata walk."""
+        mdir = os.path.join(self.root, "_manifests")
+        out = []
+        for fn in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            if m.get("lineage"):
+                out.append(m["lineage"])
+        return out
+
     def gc_unreferenced(self) -> int:
         """Delete data files not referenced by the current snapshot (crash
         leftovers). Returns the number of files removed."""

@@ -77,7 +77,7 @@ def assert_parity(sim, eng):
     assert eng_errors == sim_errors
 
     # (f) seed-end events: same ended-seed set, each emitted exactly once
-    ev_df = eng.store.read("seed_events")
+    ev_df = eng.seed_events()
     eng_ended = []
     if ev_df is not None:
         eng_ended = [r["seed_docid"]
