@@ -101,6 +101,14 @@ class EngineConfig:
     # F12 handleUrlBeforeProcess: optional DataFrame->DataFrame rewrite of
     # the claimed batch before fetching (WebCrawler.java:183-185)
     url_rewrite: object | None = None
+    # S5 transport slot (PageFetcher.java:263-347): optional
+    # DataFrame->DataFrame fetch. Input: the slotted claimed batch; output:
+    # the same rows PLUS the fetch-result columns (spans, status_code,
+    # redirect_to, content_type, content_length, content_data). None =
+    # simulated transport (broadcast join against the corpus table). A real
+    # deployment plugs an HTTP pandas UDF (mapInPandas) here; the engine
+    # never assumes where the bytes came from.
+    fetch_fn: object | None = None
     # anti-starvation (SURVEY §7): claim at most this many URLs per host per
     # round; the rest stay pending for later rounds. None = unlimited
     # (reference-parity mode — the reference has no such cap; a hot host's
@@ -445,39 +453,46 @@ class CrawlEngine:
             return {}
         self.round += 1
 
-        # --- simulated fetch: claimed ⋈ corpus (S5) ---
-        # Staged once: every downstream consumer (redirects, parse, visited)
-        # reads the staged fetch result, so the big corpus scan happens
-        # exactly once per round. Join shape chosen for a corpus ≫ broadcast
-        # threshold: the tiny claimed batch must be the BUILD side, which a
-        # left-outer join (claimed stream-preserved) cannot express — Spark
-        # would have to build/shuffle the corpus. Instead: inner broadcast
-        # join with claimed as build side (one streaming pass over the
-        # corpus, no exchange), then the unmatched remainder via a broadcast
-        # anti-join against the ≤round_size hit set, unioned back as
-        # fetch-miss (404-shaped) rows. At production scale the fetch is a
-        # transport UDF; this is the simulated path's scale-safe shape.
-        corpus = self.corpus()
-        hits = (
-            corpus.join(F.broadcast(slotted),
-                        F.col("doc_id") == slotted.url, "inner")
-            .drop("doc_id").withColumn("round", F.lit(self.round))
-        )
-        hit_entries = self.store.stage_dataframe(hits)
-        hits = self.store.read("fetched_tmp", files=hit_entries)
-        # Remainder (URL absent from the corpus -> fetch miss / 404 path):
-        # anti-join against the ≤round_size staged hit set (broadcast build),
-        # never against the corpus.
-        misses = slotted.join(
-            F.broadcast(hits.select(F.col("url").alias("_hit_url"))),
-            slotted.url == F.col("_hit_url"), "left_anti")
-        for name, dtype in corpus.dtypes:
-            if name != "doc_id":
-                misses = misses.withColumn(name, F.lit(None).cast(dtype))
-        misses = misses.withColumn("round", F.lit(self.round))
-        miss_entries = self.store.stage_dataframe(
-            misses.select(*hits.columns))
-        fetched_entries = hit_entries + miss_entries
+        # --- fetch (S5): pluggable transport, staged once ---
+        # Every downstream consumer (redirects, parse, visited) reads the
+        # staged fetch result, so the fetch happens exactly once per round.
+        if cfg.fetch_fn is not None:
+            # real-transport slot: a user DataFrame op (typically an HTTP
+            # mapInPandas UDF) adds the fetch-result columns to the batch
+            fetched_df = cfg.fetch_fn(slotted).withColumn(
+                "round", F.lit(self.round))
+            fetched_entries = self.store.stage_dataframe(fetched_df)
+        else:
+            # Simulated transport: claimed ⋈ corpus. Join shape chosen for a
+            # corpus ≫ broadcast threshold: the tiny claimed batch must be
+            # the BUILD side, which a left-outer join (claimed
+            # stream-preserved) cannot express — Spark would have to
+            # build/shuffle the corpus. Instead: inner broadcast join with
+            # claimed as build side (one streaming pass over the corpus, no
+            # exchange), then the unmatched remainder via a broadcast
+            # anti-join against the ≤round_size hit set, unioned back as
+            # fetch-miss (404-shaped) rows.
+            corpus = self.corpus()
+            hits = (
+                corpus.join(F.broadcast(slotted),
+                            F.col("doc_id") == slotted.url, "inner")
+                .drop("doc_id").withColumn("round", F.lit(self.round))
+            )
+            hit_entries = self.store.stage_dataframe(hits)
+            hits = self.store.read("fetched_tmp", files=hit_entries)
+            # Remainder (URL absent from the corpus -> fetch miss / 404
+            # path): anti-join against the ≤round_size staged hit set
+            # (broadcast build), never against the corpus.
+            misses = slotted.join(
+                F.broadcast(hits.select(F.col("url").alias("_hit_url"))),
+                slotted.url == F.col("_hit_url"), "left_anti")
+            for name, dtype in corpus.dtypes:
+                if name != "doc_id":
+                    misses = misses.withColumn(name, F.lit(None).cast(dtype))
+            misses = misses.withColumn("round", F.lit(self.round))
+            miss_entries = self.store.stage_dataframe(
+                misses.select(*hits.columns))
+            fetched_entries = hit_entries + miss_entries
         mark("fetch")
         fetched = self.store.read("fetched_tmp", files=fetched_entries)
 

@@ -205,3 +205,69 @@ def test_robots_ttl_refresh(spark, tmp_path):
     for h in hosts:
         assert rules[h]["fetched_at"] == 5_000
         assert list(rules[h]["spec_disallow"]) == ["/"]
+
+
+def test_pluggable_fetch_transport(spark, tmp_path):
+    # S5 transport slot (PageFetcher.java:263-347): the engine runs with NO
+    # corpus table at all — a user fetch_fn (here a deterministic fake HTTP
+    # transport as a mapInPandas UDF) supplies the fetch-result columns.
+    # Web shape: http://tH.example.com/pK links to /p(K+1) for K<3.
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    span_t = ArrayType(StructType([
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]))
+
+    def fake_fetch(slotted):
+        out_schema = StructType(list(slotted.schema.fields) + [
+            StructField("spans", span_t),
+            StructField("status_code", IntegerType()),
+            StructField("redirect_to", StringType()),
+            StructField("content_type", StringType()),
+            StructField("content_length", LongType()),
+            StructField("content_data", BinaryType()),
+        ])
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                spans = []
+                for u in pdf["url"]:
+                    k = int(u.rsplit("p", 1)[1])
+                    spans.append(
+                        [{"kind": "a", "text": "next",
+                          "media_ref": f"/p{k + 1}", "offset": 0}]
+                        if k < 3 else [])
+                pdf["spans"] = spans
+                pdf["status_code"] = 200
+                pdf["redirect_to"] = None
+                pdf["content_type"] = "text/html"
+                pdf["content_length"] = 10
+                pdf["content_data"] = None
+                yield pdf
+
+        return slotted.mapInPandas(gen, out_schema)
+
+    cfg = EngineConfig(
+        sim=SimConfig(max_depth=-1, robots_enabled=False, politeness_ms=100),
+        round_size=25, n_seen_buckets=8, expected_urls_per_bucket=100,
+        mint_buckets=4, fetch_fn=fake_fetch)
+    eng = CrawlEngine(spark, str(tmp_path / "store"), None, None, cfg)
+    seeds = [{"url": f"http://t{h}.example.com/p0", "priority": 0,
+              "doc_id_override": None} for h in range(2)]
+    assert eng.add_seeds(seeds) == [1, 2]
+    eng.crawl(max_rounds=50)
+    visited = [(r["url"], r["depth"])
+               for r in eng.visited_log().select("url", "depth").collect()]
+    want = {(f"http://t{h}.example.com/p{k}", k)
+            for h in range(2) for k in range(4)}
+    assert set(visited) == want
+    assert eng.frontier_pending() == 0
