@@ -216,7 +216,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--tmpfs", action="store_true")
     ap.add_argument("--dedup-parallelism", type=int, default=None)
-    ap.add_argument("--dedup-stage", default="full", choices=["full", "canon"])
+    ap.add_argument("--dedup-stage", default="full",
+                    choices=["full", "canon", "probe"])
     ap.add_argument("--skip-frontier", action="store_true")
     args = ap.parse_args()
     os.makedirs(BENCH_DIR, exist_ok=True)
@@ -552,8 +553,36 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
                 "wall_sec": round(wall, 2),
                 "urls_per_sec": round(d["n_candidates"] / wall, 1),
             }
-        canon = with_bucket(canon, "url", d["n_buckets"])
-        probed = split_new_vs_maybe_seen(canon, blooms).persist()
+        # Stage the canonicalized candidates to (tmpfs) parquet and read
+        # back — exactly what the engine round loop does between parse and
+        # dedup (stage_dataframe → read). Besides modeling the real plan,
+        # this is load-bearing for correctness of the measurement: without
+        # a materialization boundary Catalyst's project-collapse DUPLICATES
+        # the canonicalize UDF into the probe UDF's argument expressions
+        # (one ArrowEvalPython per reference) and the kernel runs twice.
+        canon_dir = os.path.join(
+            "/dev/shm/spark-graft-bench" if tmpfs else BENCH_DIR,
+            f"canon-{parallelism}-{int(t0)}")
+        with_bucket(canon, "url", d["n_buckets"]).write.mode(
+            "overwrite").option("compression", "none").parquet(canon_dir)
+        canon = spark.read.parquet(canon_dir)
+        if stage == "probe":
+            # canon + stage + hash-bucket + bloom probe, no join/mint
+            probed = split_new_vs_maybe_seen(canon, blooms)
+            n = probed.filter(F.col("maybe_seen")).count()
+            wall = time.time() - t0
+            shutil.rmtree(canon_dir, ignore_errors=True)
+            return {
+                "parallelism": parallelism,
+                "stage": "probe",
+                "candidates": d["n_candidates"],
+                "maybe_seen": n,
+                "wall_sec": round(wall, 2),
+                "urls_per_sec": round(d["n_candidates"] / wall, 1),
+            }
+        # no persist: canon sits in staged parquet, so each branch's
+        # re-read + slim probe is cheaper than materializing 40M full rows
+        probed = split_new_vs_maybe_seen(canon, blooms)
         maybe = probed.filter(F.col("maybe_seen"))
         fresh = (
             probed.filter(~F.col("maybe_seen"))

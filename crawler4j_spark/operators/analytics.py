@@ -1480,3 +1480,123 @@ def q_charset_decode(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "charset", "decoded"])
 
     return pages.mapInPandas(gen, out_schema)
+
+
+# --- IVF-style ANN (build + probe) -----------------------------------------
+# Centroids = a deterministic subsample (vec_id % 37 == 0) standing in for
+# k-means centroids (no RNG, identical on both engines); the *shape* is the
+# production IVF plan: broadcast the small centroid set, one pass to assign
+# every vector to its nearest cell, then probes search only their cell —
+# at 100 TB the assignment is the partitioning key of the vector table and
+# a probe touches 1/k of the data (nprobe cells).
+
+_IVF_COS = """ROUND(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])
+      / (SQRT(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))
+         * SQRT(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"""
+
+
+@register("ann_ivf_assign", """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id,
+         """ + _IVF_COS.format(a="e.embedding", b="c.cv") + """ AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY """ + _IVF_COS.format(a="e.embedding", b="c.cv")
+           + """ DESC, c.cent_id) AS rn
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, cent_id, sim FROM scored WHERE rn = 1
+""")
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF build step: assign every vector to its nearest centroid.
+    Broadcast the centroid set, JVM-side dot products, per-vector argmax via
+    a window — one shuffle on vec_id, no all-pairs. Similarity rounded to
+    6 dp BEFORE the argmax so Spark and the oracle break float-noise ties
+    identically (then by centroid id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 37 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cv")))
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cent_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("cv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 6)
+            .alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+@register("ann_ivf_probe", """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+assign AS (
+  SELECT vec_id, cent_id, emb FROM (
+    SELECT e.vec_id, c.cent_id, e.embedding AS emb,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY """ + _IVF_COS.format(a="e.embedding", b="c.cv")
+             + """ DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT cent_id AS qcell, emb AS qv FROM assign WHERE vec_id = 1)
+SELECT a.vec_id,
+       """ + _IVF_COS.format(a="a.emb", b="q.qv") + """ AS sim
+FROM assign a CROSS JOIN q
+WHERE a.cent_id = q.qcell AND a.vec_id <> 1
+ORDER BY sim DESC, a.vec_id
+LIMIT 10
+""")
+def q_ann_ivf_probe(spark, sf_dir):
+    """IVF probe: top-10 neighbors of query vec_id=1 searched ONLY inside
+    the query's cell (nprobe=1) — the scale path where a probe reads 1/k of
+    the vector table instead of all of it. Exactness is traded for the cell
+    boundary, as in any IVF index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 37 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cv")))
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cent_id", "embedding",
+            F.round(
+                _dot(F.col("embedding"), F.col("cv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 6)
+            .alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", "cent_id",
+                      F.col("embedding").alias("emb")))
+    q = (assign.filter(F.col("vec_id") == 1)
+         .select(F.col("cent_id").alias("qcell"), F.col("emb").alias("qv")))
+    return (
+        assign.join(F.broadcast(q), assign.cent_id == F.col("qcell"))
+        .filter(F.col("vec_id") != 1)
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("emb"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6)
+            .alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )

@@ -160,7 +160,14 @@ def split_new_vs_maybe_seen(
     * **cogrouped probe** (frontier scale, e.g. 8192 buckets × 1.5 MB =
       12 GB of bitmaps): shuffle candidates to their bucket and join each
       bucket's bitmap in a cogrouped ``applyInPandas`` — one Arrow group
-      per bucket, nothing broadcast."""
+      per bucket, nothing broadcast.
+
+    CALLER CONTRACT: ``candidates`` should sit behind a materialization
+    boundary (parquet read / cached relation), as the engine's staged round
+    intermediates always do. If ``url`` is itself an unmaterialized Python
+    UDF output, Catalyst's project collapse duplicates that UDF into the
+    probe's hash arguments (one ArrowEvalPython per reference) and the
+    upstream kernel runs twice."""
     spark = candidates.sparkSession
     if blooms is None:
         return candidates.withColumn("maybe_seen", F.lit(False))
@@ -179,31 +186,36 @@ def split_new_vs_maybe_seen(
             for r in rows
         }
         bc = spark.sparkContext.broadcast(bitmaps)
-        drop_cols = ["bh1", "bh2"]
 
-        def probe_stream(batches):
+        # Scalar pandas UDF over exactly three int64 columns: only
+        # (bucket, bh1, bh2) cross the Arrow boundary in and one boolean
+        # comes back — the url strings and payload columns stay JVM-side
+        # (a mapInPandas here would serialize the entire candidate row set
+        # both ways; on a 40M-row probe that is the dominant cost).
+        @F.pandas_udf(BooleanType())
+        def probe_udf(buckets_s: pd.Series, bh1_s: pd.Series,
+                      bh2_s: pd.Series) -> pd.Series:
             local = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                out = np.zeros(len(pdf), dtype=bool)
-                buckets = pdf["bucket"].to_numpy()
-                bh1 = pdf["bh1"].to_numpy()
-                bh2 = pdf["bh2"].to_numpy()
-                for b in np.unique(buckets):
-                    entry = local.get(int(b))
-                    idx = np.nonzero(buckets == b)[0]
-                    if entry is None:
-                        continue  # bucket never inserted → definitely new
-                    nbits, bitmap = entry
-                    pos = _bit_positions(bh1[idx], bh2[idx], nbits)
-                    out[idx] = _test_bits(bitmap, pos)
-                pdf = pdf.drop(columns=drop_cols)
-                pdf["maybe_seen"] = out
-                yield pdf
+            out = np.zeros(len(buckets_s), dtype=bool)
+            buckets = buckets_s.to_numpy()
+            bh1 = bh1_s.to_numpy()
+            bh2 = bh2_s.to_numpy()
+            for b in np.unique(buckets):
+                entry = local.get(int(b))
+                idx = np.nonzero(buckets == b)[0]
+                if entry is None:
+                    continue  # bucket never inserted → definitely new
+                nbits, bitmap = entry
+                pos = _bit_positions(bh1[idx], bh2[idx], nbits)
+                out[idx] = _test_bits(bitmap, pos)
+            return pd.Series(out)
 
-        return with_bloom_hashes(candidates, "url").mapInPandas(
-            probe_stream, out_schema)
+        return (
+            with_bloom_hashes(candidates, "url")
+            .withColumn("maybe_seen",
+                        probe_udf(F.col("bucket"), F.col("bh1"), F.col("bh2")))
+            .drop("bh1", "bh2")
+        )
 
     def probe(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand_pdf) == 0:
