@@ -250,13 +250,15 @@ def main() -> None:
                     best = r
             return best
 
-        results, dedup_results, canon_results = {}, {}, {}
+        results, dedup_results, canon_results, probe_results = {}, {}, {}, {}
         for p in (2, 8, 32):
             results[p] = leg(["--parallelism", str(p), "--spec", "scale",
                               "--tmpfs"])
             dedup_results[p] = leg(["--dedup-parallelism", str(p)])
             canon_results[p] = leg(["--dedup-parallelism", str(p),
                                     "--dedup-stage", "canon"])
+            probe_results[p] = leg(["--dedup-parallelism", str(p),
+                                    "--dedup-stage", "probe"])
 
         def eff(d: dict, lo: int, hi: int) -> float:
             return round((d[hi]["urls_per_sec"] / d[lo]["urls_per_sec"])
@@ -268,12 +270,15 @@ def main() -> None:
             "legs": {str(p): results[p] for p in results},
             "pipeline_legs": {str(p): dedup_results[p] for p in dedup_results},
             "canon_legs": {str(p): canon_results[p] for p in canon_results},
+            "probe_legs": {str(p): probe_results[p] for p in probe_results},
             "e2e_eff_2_to_8": eff(results, 2, 8),
             "e2e_eff_8_to_32": eff(results, 8, 32),
             "pipeline_eff_2_to_8": eff(dedup_results, 2, 8),
             "pipeline_eff_8_to_32": eff(dedup_results, 8, 32),
             "canon_eff_2_to_8": eff(canon_results, 2, 8),
             "canon_eff_8_to_32": eff(canon_results, 8, 32),
+            "probe_eff_2_to_8": eff(probe_results, 2, 8),
+            "probe_eff_8_to_32": eff(probe_results, 8, 32),
             # back-compat keys (the 8→32 envelope, as round 1 reported)
             "pipeline_n": dedup_results[8],
             "pipeline_four_n": dedup_results[32],
@@ -347,14 +352,23 @@ executors; 8→32 measures this one VM's ceiling.
 | job | eff 2→8 | eff 8→32 |
 |---|---|---|
 | canonicalize stage (pure CPU kernel) | **{report["canon_eff_2_to_8"]}** | {report["canon_eff_8_to_32"]} |
+| canon+bucket+bloom-probe stage | **{report.get("probe_eff_2_to_8", "—")}** | {report.get("probe_eff_8_to_32", "—")} |
 | dedup+mint pipeline (the metric) | **{report["pipeline_eff_2_to_8"]}** | {report["pipeline_eff_8_to_32"]} |
 | end-to-end crawl rounds | **{report["e2e_eff_2_to_8"]}** | {report["e2e_eff_8_to_32"]} |
 
 Canonicalize-stage legs (URLs/sec): """ + ", ".join(
         f"{p} cores = {clegs[p]['urls_per_sec']:,}"
         for p in sorted(clegs, key=int)) + """
+Probe-stage legs (URLs/sec): """ + ", ".join(
+        f"{p} cores = {report['probe_legs'][p]['urls_per_sec']:,}"
+        for p in sorted(report.get("probe_legs", {}), key=int)) + """
 Pipeline legs (URLs/sec): """ + ", ".join(
         f"{p} cores = {plegs[p]['urls_per_sec']:,}"
+        for p in sorted(plegs, key=int)) + """
+Pipeline phase split (canon+probe+cache / join+mint, s): """ + ", ".join(
+        "{} cores = {} / {}".format(
+            p, plegs[p].get("phase_sec", {}).get("canon_probe_cache", "—"),
+            plegs[p].get("phase_sec", {}).get("join_mint", "—"))
         for p in sorted(plegs, key=int)) + """
 End-to-end legs (URLs/sec): """ + ", ".join(
         f"{p} cores = {legs[p]['urls_per_sec']:,}"
@@ -430,8 +444,15 @@ deterministic two-stage offset scheme (operators/mint.py ordered_rank) —
 no global sorts, no single-partition stages anywhere in the scale path
 (exact_claim=False, dense_seq_distributed=True).
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH", "BASELINE.md"), "w") as f:
+    # Hand-maintained appendices survive report regeneration: everything in
+    # BENCH/APPENDICES.md is appended verbatim after the generated report.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    appendix_path = os.path.join(bench_dir, "APPENDICES.md")
+    if os.path.exists(appendix_path):
+        with open(appendix_path) as f:
+            md += "\n" + f.read()
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(md)
 
 
@@ -538,12 +559,11 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
         cand = spark.read.parquet(os.path.join(cdir, "candidates"))
 
         t0 = time.time()
-        canon = cand.select(
-            "seq", canonicalize_udf(F.col("raw_href")).alias("url")
-        ).filter(F.col("url").isNotNull())
+        canon_raw = cand.select(
+            "seq", canonicalize_udf(F.col("raw_href")).alias("url"))
         if stage == "canon":
             # stage decomposition: the CPU-bound kernel alone, no shuffle
-            n = canon.count()
+            n = canon_raw.filter(F.col("url").isNotNull()).count()
             wall = time.time() - t0
             return {
                 "parallelism": parallelism,
@@ -553,25 +573,38 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
                 "wall_sec": round(wall, 2),
                 "urls_per_sec": round(d["n_candidates"] / wall, 1),
             }
-        # Stage the canonicalized candidates to (tmpfs) parquet and read
-        # back — exactly what the engine round loop does between parse and
-        # dedup (stage_dataframe → read). Besides modeling the real plan,
-        # this is load-bearing for correctness of the measurement: without
-        # a materialization boundary Catalyst's project-collapse DUPLICATES
-        # the canonicalize UDF into the probe UDF's argument expressions
-        # (one ArrowEvalPython per reference) and the kernel runs twice.
-        canon_dir = os.path.join(
-            "/dev/shm/spark-graft-bench" if tmpfs else BENCH_DIR,
-            f"canon-{parallelism}-{int(t0)}")
-        with_bucket(canon, "url", d["n_buckets"]).write.mode(
-            "overwrite").option("compression", "none").parquet(canon_dir)
-        canon = spark.read.parquet(canon_dir)
+        # The canonicalize kernel must run EXACTLY once, which takes care:
+        #  * a `filter(url.isNotNull())` referencing the UDF output splits
+        #    Python-UDF extraction into TWO ArrowEvalPython nodes (one for
+        #    the filter, one for every downstream reference) — the kernel
+        #    runs twice in the same stage (verified via explain);
+        #  * so the cache boundary goes UNDER the filter: persist the raw
+        #    (seq, url) projection — one eval — and apply the null filter,
+        #    bucketing and bloom hashes post-cache, where they are plain
+        #    JVM expressions over cached columns;
+        #  * the cache must be FORCED (count) before any branching
+        #    consumer: AQE schedules union/join branch map-stages
+        #    concurrently, and concurrent scans of an unmaterialized
+        #    InMemoryRelation race, each recomputing the kernel.
+        # An in-memory persist, not a parquet round-trip: encoding 40M url
+        # strings to parquet measured ~77 s at 8 cores and the full-width
+        # decode in the mint path another ~100 s per branch. At
+        # 10^9-candidate production rounds the same persist is
+        # MEMORY_AND_DISK across executors; the engine's *durable* parquet
+        # staging is a commit-protocol choice, not part of this metric.
+        # No null filter below the cache: xxhash64(NULL) is non-null (the
+        # seed hash), so bucketing/hashing/probing junk rows is harmless —
+        # they are dropped by the post-cache filter. This keeps the whole
+        # pre-cache chain a single projection → a single ArrowEvalPython.
+        probed_all = split_new_vs_maybe_seen(
+            with_bucket(canon_raw, "url", d["n_buckets"]), blooms).persist()
+        probed_all.count()
+        t_canon = time.time()
+        probed = probed_all.filter(F.col("url").isNotNull())
         if stage == "probe":
-            # canon + stage + hash-bucket + bloom probe, no join/mint
-            probed = split_new_vs_maybe_seen(canon, blooms)
+            # canon + hash-bucket + bloom probe, no join/mint
             n = probed.filter(F.col("maybe_seen")).count()
             wall = time.time() - t0
-            shutil.rmtree(canon_dir, ignore_errors=True)
             return {
                 "parallelism": parallelism,
                 "stage": "probe",
@@ -580,9 +613,6 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
                 "wall_sec": round(wall, 2),
                 "urls_per_sec": round(d["n_candidates"] / wall, 1),
             }
-        # no persist: canon sits in staged parquet, so each branch's
-        # re-read + slim probe is cheaper than materializing 40M full rows
-        probed = split_new_vs_maybe_seen(canon, blooms)
         maybe = probed.filter(F.col("maybe_seen"))
         fresh = (
             probed.filter(~F.col("maybe_seen"))
@@ -604,6 +634,10 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
             "minted": n_minted,
             "wall_sec": round(wall, 2),
             "urls_per_sec": round(d["n_candidates"] / wall, 1),
+            "phase_sec": {
+                "canon_probe_cache": round(t_canon - t0, 2),
+                "join_mint": round(time.time() - t_canon, 2),
+            },
         }
     finally:
         spark.stop()

@@ -645,9 +645,24 @@ def q_dedup_simhash(spark, sf_dir):
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+#: Hot-shingle document-frequency cap for ``dedup_ngram_jaccard``. A shingle
+#: appearing in D documents contributes O(D²) rows to the pair join, so one
+#: boilerplate shingle shared by 10⁵ docs is 10¹⁰ pairs — the classic skew
+#: killer of shared-key self-joins. Shingles above the cap are dropped from
+#: the set universe BEFORE the join (they carry no dedup signal — they are
+#: the n-gram analog of stopwords), making the worst key cost O(CAP²).
+#: 2 here so the sandbox corpus exercises the drop path; at 100 TB set it to
+#: O(10³) and let AQE skew-split handle the residual imbalance below it.
+JACCARD_DF_CAP = 2
+
+
 @register("dedup_ngram_jaccard",
-          _TOKENS_CTE.format(where="WHERE doc_id < 60") + _SHINGLES_CTE + """
-, sets AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+          _TOKENS_CTE.format(where="WHERE doc_id < 60") + _SHINGLES_CTE + f"""
+, rawsets AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sets AS (
+  SELECT doc_id, shingle FROM rawsets
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_CAP}
+),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sets GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -663,9 +678,16 @@ JOIN sizes sb ON sb.doc_id = doc_b
 """)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle —
-    the shared-shingle join bounds the pair space (vs O(n²)); at 100 TB the
-    join key is a shingle hash and hot shingles are salted."""
+    the shared-shingle join bounds the pair space (vs O(n²)), and shingles
+    hotter than ``JACCARD_DF_CAP`` documents are dropped before the join
+    (skew guard: a df-D shingle is O(D²) pairs; above-cap shingles are
+    uninformative boilerplate). Jaccard is computed over the capped shingle
+    universe on both sides, so it stays a true set Jaccard of the retained
+    shingles."""
     sets = _shingles(spark, sf_dir, max_doc=60).distinct()
+    df_w = Window.partitionBy("shingle")
+    sets = (sets.withColumn("_df", F.count("*").over(df_w))
+            .filter(F.col("_df") <= JACCARD_DF_CAP).drop("_df"))
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sets.alias("a")
     b = sets.alias("b")
