@@ -27,9 +27,43 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_child(cli_args: list[str], retries: int = 1) -> dict:
+    """Run this script as a subprocess (fresh JVM per leg) and parse its
+    JSON line. On failure the child's stderr tail is printed to OUR stderr
+    before re-raising — a bare CalledProcessError with swallowed stderr made
+    the round-2 BENCH artifact undiagnosable. One retry by default: a
+    one-in-a-few-hundred staging flake on a shared host must not zero out
+    the whole bench artifact."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + cli_args
+    cwd = os.path.dirname(os.path.abspath(__file__))
+    last_err: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True, cwd=cwd)
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except subprocess.CalledProcessError as e:
+            tail = "\n".join((e.stderr or "").splitlines()[-50:])
+            print(f"[bench] child {cli_args} failed rc={e.returncode} "
+                  f"(attempt {attempt + 1}/{retries + 1}); stderr tail:\n"
+                  f"{tail}", file=sys.stderr)
+            last_err = e
+    raise last_err
+
+
+def _make_tmpfs_scratch() -> str:
+    """Per-process tmpfs scratch dir. NEVER a fixed shared path: two bench
+    processes (a stale builder run, an overlapping scaling leg) sharing
+    /dev/shm/spark-graft-bench would rmtree each other's live snapshot
+    stores out from under them mid-run (the round-2 BENCH_r02 crash).
+    Callers delete ONLY the dir this returned."""
+    return tempfile.mkdtemp(prefix="spark-graft-bench-", dir="/dev/shm")
 
 HEADLINE = [
     "frontier_claim", "politeness_slots", "docid_mint", "seen_antijoin",
@@ -99,9 +133,9 @@ def frontier_bench(parallelism: int, spec_name: str = "default",
     _pin_cpus(parallelism)
     extra = {}
     scratch_root = BENCH_DIR
+    own_scratch = None
     if tmpfs:
-        scratch_root = "/dev/shm/spark-graft-bench"
-        os.makedirs(scratch_root, exist_ok=True)
+        scratch_root = own_scratch = _make_tmpfs_scratch()
         extra["spark.local.dir"] = os.path.join(scratch_root, "local")
     spark = get_spark(
         f"frontier-bench-{parallelism}",
@@ -151,8 +185,8 @@ def frontier_bench(parallelism: int, spec_name: str = "default",
         }
     finally:
         spark.stop()
-        if tmpfs:
-            shutil.rmtree("/dev/shm/spark-graft-bench", ignore_errors=True)
+        if own_scratch is not None:
+            shutil.rmtree(own_scratch, ignore_errors=True)
 
 
 def headline_bench(sf_dir: str, cpus: int) -> dict:
@@ -269,11 +303,7 @@ def main() -> None:
         # Best-of-N per leg: this sandbox is a shared host with large
         # run-to-run variance; best-of reflects the engine, not the noise.
         def run_leg(cli_args: list[str]) -> dict:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)] + cli_args,
-                capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            return _run_child(cli_args)
 
         # Interleave repetitions REP-major, not leg-major: the shared host
         # drifts on a minutes-to-hours timescale, and an N→4N efficiency
@@ -347,12 +377,7 @@ def main() -> None:
     times = headline_bench(sf_dir, cpus)
     frontier = None
     if not args.skip_frontier:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--parallelism", str(cpus), "--tmpfs"],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        frontier = json.loads(out.stdout.strip().splitlines()[-1])
+        frontier = _run_child(["--parallelism", str(cpus), "--tmpfs"])
 
     payload = {
         "metric": "headline suite wall time (16 queries, sf%s) + frontier URLs/sec" % sf,
@@ -596,9 +621,10 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
     d = DEDUP_BENCH
     _pin_cpus(parallelism)
     extra = {}
+    own_scratch = None
     if tmpfs:
-        os.makedirs("/dev/shm/spark-graft-bench", exist_ok=True)
-        extra["spark.local.dir"] = "/dev/shm/spark-graft-bench/local"
+        own_scratch = _make_tmpfs_scratch()
+        extra["spark.local.dir"] = os.path.join(own_scratch, "local")
     spark = get_spark(f"dedup-bench-{parallelism}",
                       master=f"local[{parallelism}]",
                       shuffle_partitions=max(parallelism * 2, 16),
@@ -709,8 +735,8 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
                 "warmed_up": True}
     finally:
         spark.stop()
-        if tmpfs:
-            shutil.rmtree("/dev/shm/spark-graft-bench", ignore_errors=True)
+        if own_scratch is not None:
+            shutil.rmtree(own_scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

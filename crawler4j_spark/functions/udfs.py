@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from . import urlkit
+from .netkit import bad_charset_mask
 from .robots import arrays_allow, directives_to_arrays, parse_robots
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "domain_split_udf",
     "robots_allow_udf",
     "parse_robots_udf_factory",
+    "bad_charset_udf",
     "DOMAIN_STRUCT",
 ]
 
@@ -42,10 +44,18 @@ __all__ = [
 # property-tested against the slow path (tests/test_urlkit.py); the
 # host/path patterns are restricted to shapes where the capture IS the
 # kernel result (no userinfo/brackets/params, lowercase host).
+# '?' terminates the authority in _parse_rfc1808 ONLY when no '/' follows
+# anywhere before '#' (RFC1808 finds the first '/' across the whole spec,
+# query included — 'http://h?next=/home' has host 'h?next=' and path
+# '/home').  So '?' is a valid fast-path terminator only under the
+# negative lookahead (?![^#]*/); rows like '?next=/home' fall back to the
+# per-element kernel.  Property-tested vs the kernel in
+# tests/test_urlkit.py::test_simple_host_path_fast_paths_match_kernel.
 _SIMPLE_HOST = re.compile(
-    r"^[a-z][a-z0-9+.-]*://([a-z0-9.-]+)(?::\d+)?(?:[/?#]|$)")
+    r"^[a-z][a-z0-9+.-]*://([a-z0-9.-]+)(?::\d+)?(?:[/#]|$|\?(?![^#]*/))")
 _SIMPLE_PATH = re.compile(
-    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#;]*(/[^?#;]*)?(?:[?#]|$)")
+    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#;]*"
+    r"(?:(/[^?#;]*)(?:[?#]|$)|(?:#|$|\?(?![^#]*/)))")
 
 
 @F.pandas_udf(StringType())
@@ -92,6 +102,16 @@ def path_udf(urls: pd.Series) -> pd.Series:
     if slow.any():
         out[slow] = urls[slow].map(urlkit.url_path)
     return out.where(urls.notna(), None)
+
+
+@F.pandas_udf(BooleanType())
+def bad_charset_udf(content_types: pd.Series) -> pd.Series:
+    """True where the Content-Type header names an unknown charset — the
+    page becomes a content-fetch error (Page.java:129 ContentType.
+    getOrDefault throws; PageFetchResult.java:76-85 returns false →
+    onContentFetchError). C-speed prescreen inside bad_charset_mask; null
+    content types (fetch misses) are False."""
+    return bad_charset_mask(content_types.fillna(""))
 
 
 DOMAIN_STRUCT = StructType([

@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 
 from ..functions import urlkit
 from ..functions.udfs import (
+    bad_charset_udf,
     host_udf,
     parse_robots_udf_factory,
     path_udf,
@@ -60,7 +61,12 @@ from ..operators.seen_filter import (
     with_bucket,
 )
 from ..sources.tableio import SnapshotStore
-from .refsim import PAGE_TOO_BIG, REDIRECT_CODES, SimConfig  # noqa: F401
+from .refsim import (  # noqa: F401
+    CONTENT_FETCH_ERROR,
+    PAGE_TOO_BIG,
+    REDIRECT_CODES,
+    SimConfig,
+)
 
 __all__ = ["CrawlEngine", "EngineConfig"]
 
@@ -172,6 +178,28 @@ class CrawlEngine:
         self.clock = int(props.get("clock", 0))
         self._robots_refreshed_at = int(props.get("robots_refreshed_at", 0))
 
+        self._migrate_old_schemas()
+
+    def _migrate_old_schemas(self) -> None:
+        """Resume path for stores written before columns were added: the
+        round-2 release added seed_counts.ended_round and robots_rules.
+        fetched_at; round 3 added fetch_log.bad_charset. The two small
+        tables are rewritten once with backfilled values (old stores never
+        observed a TTL or an end event, so 0 / NULL are the faithful
+        states); fetch_log can be huge, so its views merge schemas at read
+        time instead (see _fetch_log_with_charset)."""
+        replaces: dict[str, list[dict]] = {}
+        counts = self._read("seed_counts")
+        if counts is not None and "ended_round" not in counts.columns:
+            replaces["seed_counts"] = self.store.stage_dataframe(
+                counts.withColumn("ended_round", F.lit(None).cast("int")))
+        rules = self._read("robots_rules")
+        if rules is not None and "fetched_at" not in rules.columns:
+            replaces["robots_rules"] = self.store.stage_dataframe(
+                rules.withColumn("fetched_at", F.lit(0).cast("long")))
+        if replaces:
+            self.store.commit(replaces=replaces)
+
     # ------------------------------------------------------------------ io
 
     def _read(self, table: str) -> DataFrame | None:
@@ -218,19 +246,26 @@ class CrawlEngine:
         expired_hosts = rules.filter(
             F.lit(self.clock) - F.col("fetched_at") > F.lit(ttl)
         ).select("host")
+        # ONE job answers both "did anything expire?" and "how many still
+        # have a live robots body?" — the common no-expiry round pays the
+        # same single count it always did. Committing on n_expired (not
+        # n_refreshed) matters: when every expired host's robots vanished
+        # from the web, the stale rules must still drop out of the cache.
+        cnt = expired_hosts.join(bodies, "host", "left").agg(
+            F.count(F.lit(1)).alias("n_expired"),
+            F.count("body").alias("n_refreshed")).collect()[0]
+        if int(cnt["n_expired"] or 0) == 0:
+            return 0
         refreshed = self._parse_rules(
             bodies.join(F.broadcast(expired_hosts), "host", "left_semi"),
             fetched_at=self.clock)
         # hosts whose robots vanished from the web drop out of the cache;
         # kept rows = not-expired ∪ refreshed
-        n_refreshed = refreshed.count()
-        if n_refreshed == 0:
-            return 0
         kept = rules.join(F.broadcast(expired_hosts), "host", "left_anti")
         entries = self.store.stage_dataframe(kept.unionByName(refreshed))
         self.store.commit(replaces={"robots_rules": entries},
                           props=self._props())
-        return n_refreshed
+        return int(cnt["n_refreshed"] or 0)
 
     def corpus(self) -> DataFrame:
         df = self._read("corpus")
@@ -459,8 +494,15 @@ class CrawlEngine:
         if cfg.fetch_fn is not None:
             # real-transport slot: a user DataFrame op (typically an HTTP
             # mapInPandas UDF) adds the fetch-result columns to the batch
-            fetched_df = cfg.fetch_fn(slotted).withColumn(
-                "round", F.lit(self.round))
+            fetched_df = (
+                cfg.fetch_fn(slotted)
+                .withColumn("round", F.lit(self.round))
+                # Page.load charset resolution rides the fetch staging pass:
+                # one vectorized check per row, baked into the fetch log so
+                # every downstream view filters a plain boolean column.
+                .withColumn("bad_charset",
+                            bad_charset_udf(F.col("content_type")))
+            )
             fetched_entries = self.store.stage_dataframe(fetched_df)
         else:
             # Simulated transport: claimed ⋈ corpus. Join shape chosen for a
@@ -477,6 +519,11 @@ class CrawlEngine:
                 corpus.join(F.broadcast(slotted),
                             F.col("doc_id") == slotted.url, "inner")
                 .drop("doc_id").withColumn("round", F.lit(self.round))
+                # Page.load charset resolution (Page.java:129-135) baked
+                # into the fetch log at staging time — unknown charset=
+                # names route the page to the content-fetch-error channel.
+                .withColumn("bad_charset",
+                            bad_charset_udf(F.col("content_type")))
             )
             hit_entries = self.store.stage_dataframe(hits)
             hits = self.store.read("fetched_tmp", files=hit_entries)
@@ -489,7 +536,8 @@ class CrawlEngine:
             for name, dtype in corpus.dtypes:
                 if name != "doc_id":
                     misses = misses.withColumn(name, F.lit(None).cast(dtype))
-            misses = misses.withColumn("round", F.lit(self.round))
+            misses = (misses.withColumn("round", F.lit(self.round))
+                      .withColumn("bad_charset", F.lit(False)))
             miss_entries = self.store.stage_dataframe(
                 misses.select(*hits.columns))
             fetched_entries = hit_entries + miss_entries
@@ -521,6 +569,7 @@ class CrawlEngine:
         ok_pages = fetched.filter(
             (F.col("status_code") == 200)
             & (F.col("content_length") <= sim.max_download_size)
+            & ~F.col("bad_charset")  # Page.load failed -> no parse
         )
         outlink_cands = extract_candidates(
             ok_pages, sim.max_outlinks, sim.include_binary)
@@ -614,16 +663,18 @@ class CrawlEngine:
         # the slotted columns, so eff_time is available here too.
         is_ok = ((F.col("status_code") == 200)
                  & (F.col("content_length") <= sim.max_download_size))
-        visited_cond = is_ok & (
+        visited_cond = is_ok & ~F.col("bad_charset") & (
             ~F.lower(F.col("content_type")).rlike("image|audio|video|application")
             | F.lit(sim.include_binary))
         # Redirect statuses never reach the error channel regardless of
         # follow_redirects: WebCrawler.java invokes no error handler for 3xx
-        # (refsim.py records nothing either way).
+        # (refsim.py records nothing either way). A 200 page whose charset
+        # failed Page.load is a content-fetch error (onContentFetchError).
         err_cond = (
-            (F.col("status_code").isNull() | (F.col("status_code") != 200)
-             | (F.col("content_length") > sim.max_download_size))
-            & ~F.col("status_code").isin(list(REDIRECT_CODES)))
+            ((F.col("status_code").isNull() | (F.col("status_code") != 200)
+              | (F.col("content_length") > sim.max_download_size))
+             & ~F.col("status_code").isin(list(REDIRECT_CODES)))
+            | (is_ok & F.col("bad_charset")))
         srow = fetched.agg(
             F.sum(F.when(visited_cond, 1).otherwise(0)).alias("n_visited"),
             F.sum(F.when(err_cond, 1).otherwise(0)).alias("n_err"),
@@ -796,22 +847,40 @@ class CrawlEngine:
     def documents(self) -> DataFrame | None:
         """Visited-page log (S7): status-200, parse-allowed rows of the
         fetch log, with their interleaved spans."""
-        log = self._read("fetch_log")
+        log = self._fetch_log_with_charset()
         if log is None:
             return None
         sim = self.cfg.sim
         return log.filter(
             (F.col("status_code") == 200)
             & (F.col("content_length") <= sim.max_download_size)
+            & ~F.col("bad_charset")
             & (~F.lower(F.col("content_type"))
                .rlike("image|audio|video|application")
                | F.lit(sim.include_binary))
         ).select("url", "docid", "depth", "seed_docid", "process_seq",
                  "round", "content_type", "spans")
 
+    def _fetch_log_with_charset(self) -> DataFrame | None:
+        """fetch_log with bad_charset guaranteed present and non-null.
+        Reads with schema merge so a resumed store mixing pre-/post-round-3
+        files is deterministic (the column would otherwise appear or vanish
+        depending on which file Spark samples); rows from old files read as
+        null → coalesced to False, the faithful backfill (those rounds
+        decoded with the pre-check semantics)."""
+        log = self.store.read("fetch_log", merge_schema=True)
+        if log is None:
+            return None
+        if "bad_charset" not in log.columns:
+            log = log.withColumn("bad_charset", F.lit(False))
+        else:
+            log = log.withColumn(
+                "bad_charset", F.coalesce(F.col("bad_charset"), F.lit(False)))
+        return log
+
     def errors_log(self) -> DataFrame | None:
-        """Error channel (status routing incl. 404/too-big)."""
-        log = self._read("fetch_log")
+        """Error channel (status routing incl. 404/too-big/charset)."""
+        log = self._fetch_log_with_charset()
         if log is None:
             return None
         sim = self.cfg.sim
@@ -821,6 +890,8 @@ class CrawlEngine:
             .when((F.col("status_code") == 200)
                   & (F.col("content_length") > sim.max_download_size),
                   F.lit(PAGE_TOO_BIG))
+            .when((F.col("status_code") == 200) & F.col("bad_charset"),
+                  F.lit(CONTENT_FETCH_ERROR))
             .otherwise(F.col("status_code")).alias("status"),
         ).filter(
             # 3xx never hits the error channel, even with follow_redirects

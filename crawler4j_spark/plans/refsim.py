@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from ..functions.netkit import (
+    UnsupportedCharsetError,
     charset_from_content_type,
     decode_content,
     extract_urls,
@@ -50,9 +51,14 @@ from ..functions.robots import HostDirectives, parse_robots, robots_allows
 from ..functions.spans import body_text, outlink_candidates
 from ..functions.urlkit import canonicalize, url_host, url_path
 
-__all__ = ["SimConfig", "CorpusPage", "SimCorpus", "RefSim", "PAGE_TOO_BIG"]
+__all__ = ["SimConfig", "CorpusPage", "SimCorpus", "RefSim", "PAGE_TOO_BIG",
+           "CONTENT_FETCH_ERROR"]
 
 PAGE_TOO_BIG = 1001  # fetcher/CustomFetchStatus.java PageTooBig
+# Model-side tag for the onContentFetchError channel (WebCrawler.java:449-451
+# fires a callback with NO status code; CustomFetchStatus leaves 1007 unused,
+# so the error-log views use it to keep one status-typed channel).
+CONTENT_FETCH_ERROR = 1007
 REDIRECT_CODES = {300, 301, 302, 303, 307, 308}
 
 
@@ -357,8 +363,19 @@ class RefSim:
                 {"url": cur.url, "status": PAGE_TOO_BIG, "seq": self._seq})
             return
 
-        # ---- parse (Parser.java:59-175) ----
+        # ---- Page.load charset resolution (Page.java:129-135) ----
+        # ContentType.getOrDefault throws UnsupportedCharsetException for an
+        # unknown charset= name; fetchContent catches it and returns false →
+        # onContentFetchError: no visit, no outlinks (WebCrawler.java:449-451).
         ctype = page.content_type
+        try:
+            content_charset = charset_from_content_type(ctype)
+        except UnsupportedCharsetError:
+            self.errors.append({"url": cur.url, "status": CONTENT_FETCH_ERROR,
+                                "seq": self._seq})
+            return
+
+        # ---- parse (Parser.java:59-175) ----
         outlinks: list[_WebUrl] = []
         if has_binary_content(ctype):
             if not self.cfg.include_binary:
@@ -368,8 +385,7 @@ class RefSim:
             if page.content_data is not None:
                 # X8: new String(contentData, contentCharset) —
                 # Parser.java:79-82 with charset from Page.java:129-135
-                text = decode_content(
-                    page.content_data, charset_from_content_type(ctype))
+                text = decode_content(page.content_data, content_charset)
             else:
                 text = body_text(page.spans)
             for raw in extract_urls(text):

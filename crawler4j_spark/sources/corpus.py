@@ -17,6 +17,7 @@ see functions/robots.py).
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass, field
 
 from ..plans.refsim import CorpusPage, SimCorpus
@@ -202,9 +203,15 @@ def generate_corpus(spec: CorpusSpec | None = None) -> GeneratedCorpus:
                 # decoded by the parse stage from the charset= header param
                 text = "café ü§é " + text
                 data = text.encode("iso-8859-1")
+                ctype = "text/plain; charset=ISO-8859-1"
+                # A deterministic slice declares an UNKNOWN charset name:
+                # Page.load throws UnsupportedCharsetException -> content-
+                # fetch error, no visit, no outlinks (crc32-keyed, not rng,
+                # so the rest of the page population is unchanged).
+                if zlib.crc32(u.encode()) % 11 == 0:
+                    ctype = "text/plain; charset=x-bogus-ebcdic"
                 pages.append(CorpusPage(
-                    url=u, status_code=200,
-                    content_type="text/plain; charset=ISO-8859-1",
+                    url=u, status_code=200, content_type=ctype,
                     content_length=len(data), spans=[], content_data=data))
                 continue
             spans = [("text", text, None, 0)]

@@ -83,14 +83,22 @@ class SnapshotStore:
     def table_files(self, table: str) -> list[dict]:
         return self.manifest().get("tables", {}).get(table, {}).get("files", [])
 
-    def read(self, table: str, files: Optional[list[dict]] = None) -> Optional[DataFrame]:
+    def read(self, table: str, files: Optional[list[dict]] = None,
+             merge_schema: bool = False) -> Optional[DataFrame]:
         """DataFrame over the table's current snapshot (or a file subset);
-        None when the table is empty/absent."""
+        None when the table is empty/absent. ``merge_schema=True`` unions
+        the per-file schemas (columns absent from older files read as
+        null) — used by result views over append-only logs whose schema
+        gained columns across releases; costs a footer read per file, so
+        keep it out of the per-round hot path."""
         entries = self.table_files(table) if files is None else files
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def row_count(self, table: str) -> int:
         return sum(e.get("rows", 0) for e in self.table_files(table))
@@ -150,8 +158,27 @@ class SnapshotStore:
 
         stage = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(stage)
+        try:
+            staged_files = sorted(os.listdir(stage))
+        except FileNotFoundError:
+            # Observed once in ~400 stagings on tmpfs (round 2): the listdir
+            # right after a successful write raised FileNotFoundError. The
+            # UUID dir is ours alone, so the only legitimate writer is the
+            # Spark job — retry the write once; a second miss is a real
+            # fault and must surface with state, not crash a 1000-round
+            # crawl on a one-off flake.
+            df.write.mode("overwrite").parquet(stage)
+            try:
+                staged_files = sorted(os.listdir(stage))
+            except FileNotFoundError:
+                parent = os.path.join(self.root, "_staging")
+                raise RuntimeError(
+                    f"staging dir vanished twice: {stage}; "
+                    f"_staging exists={os.path.isdir(parent)} entries="
+                    f"{os.listdir(parent) if os.path.isdir(parent) else None}"
+                ) from None
         entries = []
-        for fn in sorted(os.listdir(stage)):
+        for fn in staged_files:
             if not fn.endswith(".parquet"):
                 continue
             final_name = f"data/{uuid.uuid4().hex}.parquet"

@@ -166,6 +166,12 @@ def test_parity_charset_pages(spark, tmp_path):
     assert n_charset > 5, "fixture must contain charset pages"
     sim_cfg = SimConfig(max_depth=4)
     sim = run_sim(gen, sim_cfg)
+    # the fixture must also reach >=1 UNKNOWN-charset page so the
+    # content-fetch-error channel (Page.java:129 UnsupportedCharset ->
+    # onContentFetchError) is exercised end-to-end on both sides
+    from crawler4j_spark.plans.refsim import CONTENT_FETCH_ERROR
+    assert any(e["status"] == CONTENT_FETCH_ERROR for e in sim.errors), \
+        "fixture must reach a bad-charset page"
     eng = run_engine(spark, tmp_path, gen, sim_cfg)
     assert len(sim.visited) > 10
     assert_parity(sim, eng)
@@ -205,6 +211,16 @@ def test_robots_ttl_refresh(spark, tmp_path):
     for h in hosts:
         assert rules[h]["fetched_at"] == 5_000
         assert list(rules[h]["spec_disallow"]) == ["/"]
+
+    # every robots body vanishes from the web: once the TTL passes again,
+    # the stale rules must DROP OUT of the cache even though nothing was
+    # refreshed (the round-2 bug kept them serving forever via the
+    # n_refreshed == 0 early return)
+    eng.set_robots_bodies(spark.createDataFrame([], "host string, body string"))
+    eng.clock = 20_000
+    assert eng.refresh_robots() == 0
+    remaining = eng.store.read("robots_rules")
+    assert remaining is None or remaining.count() == 0
 
 
 def test_pluggable_fetch_transport(spark, tmp_path):

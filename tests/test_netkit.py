@@ -56,7 +56,28 @@ def test_charset_from_content_type():
     assert cs("text/html") is None
     assert cs(None) is None
     assert cs("") is None
-    assert cs("text/html; charset=not-a-real-charset") is None
+    # unknown charset name -> UnsupportedCharsetException in the reference
+    # (ContentType.getOrDefault, Page.java:129) -> content-fetch error
+    import pytest
+
+    from crawler4j_spark.functions.netkit import UnsupportedCharsetError
+    with pytest.raises(UnsupportedCharsetError):
+        cs("text/html; charset=not-a-real-charset")
+
+
+def test_bad_charset_mask():
+    import pandas as pd
+
+    from crawler4j_spark.functions.netkit import bad_charset_mask
+
+    s = pd.Series([
+        "text/html; charset=UTF-8",      # known
+        "text/html",                      # absent
+        "",                               # empty
+        "text/plain; charset=bogus-123",  # unknown -> True
+        'text/plain; charset="iso-8859-1"',
+    ])
+    assert bad_charset_mask(s).tolist() == [False, False, False, True, False]
 
 
 def test_decode_content():

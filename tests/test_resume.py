@@ -177,3 +177,51 @@ def test_scale_mode_same_visited_set(spark, tmp_path):
     want = {v["url"] for v in sim.visited}
     assert got == want
     assert eng.frontier_pending() == 0
+
+
+@pytest.mark.slow
+def test_resume_old_schema_store(spark, tmp_path):
+    """A store written before seed_counts.ended_round / robots_rules.
+    fetched_at / fetch_log.bad_charset existed must load, serve its result
+    views, and keep crawling — the small tables are migrated once at init,
+    the fetch log is schema-merged at read time."""
+    from pyspark.sql import functions as F
+
+    gen = generate_corpus(CorpusSpec(n_pages=80, n_hosts=4, seed=55))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    eng = CrawlEngine(spark, str(tmp_path / "old"), corpus_df, robots_df, _cfg())
+    eng.add_seeds(gen.seeds)
+    eng.run_round()
+    eng.run_round()
+
+    # strip the store back to the pre-round-3 schema on disk
+    store = eng.store
+    old_counts = store.read("seed_counts").drop("ended_round")
+    old_rules = store.read("robots_rules").drop("fetched_at")
+    old_log = store.read("fetch_log").drop("bad_charset")
+    store.commit(replaces={
+        "seed_counts": store.stage_dataframe(old_counts),
+        "robots_rules": store.stage_dataframe(old_rules),
+        "fetch_log": store.stage_dataframe(old_log),
+    })
+    docs_before = {r["url"] for r in eng.documents().collect()} if (
+        eng.documents() is not None) else set()
+
+    # resume: init migrates seed_counts/robots_rules; views merge fetch_log
+    eng2 = CrawlEngine(spark, str(tmp_path / "old"), config=_cfg())
+    counts = eng2.store.read("seed_counts")
+    assert "ended_round" in counts.columns
+    rules = eng2.store.read("robots_rules")
+    assert "fetched_at" in rules.columns
+    assert rules.filter(F.col("fetched_at") != 0).count() == 0
+
+    # old-file rows must read bad_charset=False, not null-drop
+    docs = {r["url"] for r in eng2.documents().collect()}
+    assert docs == docs_before
+    assert eng2.errors_log() is not None  # view builds over old files
+
+    # and the crawl continues: new rounds append NEW-schema fetch_log files
+    # alongside the old ones — the merged view must still work
+    eng2.crawl(max_rounds=50)
+    assert eng2.documents().count() >= len(docs_before)
+    assert eng2.seed_events() is not None

@@ -210,3 +210,45 @@ def test_fast_path_equals_slow_path():
         assert uk.canonicalize(h) == slow(h), h
         checked += 1
     assert checked > 300
+
+
+def test_simple_host_path_fast_paths_match_kernel():
+    """Wherever the _SIMPLE_HOST/_SIMPLE_PATH batch prescreens match, the
+    captured group must equal the per-element kernel result (host_udf uses
+    ``url_host(u) or u`` as the slow path, path_udf uses ``url_path``).
+    Regression for the '?'-terminates-authority bug: _parse_rfc1808 ends
+    the net_loc at '?' only when no '/' follows before '#', so
+    'http://h?next=/home' has host 'h?next=' and path '/home'."""
+    import random
+
+    from crawler4j_spark.functions.udfs import _SIMPLE_HOST, _SIMPLE_PATH
+    from crawler4j_spark.functions.urlkit import url_host, url_path
+
+    rng = random.Random(20260817)
+    atoms = ["http://", "https://", "ftp://", "example.com", "a.b.c", "x",
+             "EXAMPLE.COM", ":8080", ":99", "/", "/home", "/a/b", "?", "#",
+             ";", "next=", "=/home", "x=1", "u:p@", "[::1]", ".", "-", "%7E"]
+    pop = set()
+    for _ in range(30000):
+        pop.add("".join(rng.choice(atoms) for _ in range(rng.randint(1, 6))))
+    pop |= {
+        "http://example.com?next=/home", "http://example.com?x=1",
+        "http://example.com:8080?x=/y", "http://example.com?a#b/c",
+        "http://example.com#f/x", "http://example.com/a/b?x=/y",
+        "http://example.com/a?x#f", "http://h?next=/home#frag/x",
+    }
+    host_checked = path_checked = 0
+    for u in sorted(pop):
+        m = _SIMPLE_HOST.match(u)
+        if m:
+            host_checked += 1
+            assert m.group(1) == (url_host(u) or u), ("host", u)
+        m = _SIMPLE_PATH.match(u)
+        if m:
+            path_checked += 1
+            assert (m.group(1) or "") == url_path(u), ("path", u)
+    # the prescreens must still hit often enough to be worth having
+    # (the adversarial atom pop rarely forms a fully-lowercase simple
+    # authority, so the host prescreen hits less often here than on the
+    # real corpus, where the measured hit rate is >80%)
+    assert host_checked > 150 and path_checked > 1000
