@@ -704,12 +704,19 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
         minted = mint_docids(fresh, base_docid=d["n_seen"],
                              max_seq=d["n_candidates"],
                              n_buckets=max(parallelism * 2, 16))
-        n_minted = minted.count()
+        # consume docid, not just count(*): mint's window now sits above
+        # its internal persist, and a bare count would let Catalyst prune
+        # the rank+offset computation — sum(docid) forces the full mint
+        # (and doubles as a cross-parallelism determinism check)
+        mrow = minted.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("docid").alias("s")).collect()[0]
+        n_minted, docid_sum = mrow["n"], mrow["s"]
         wall = time.time() - t0
         return {
             "parallelism": parallelism,
             "candidates": n_input,
             "minted": n_minted,
+            "docid_sum": docid_sum,  # identical at any parallelism
             "wall_sec": round(wall, 2),
             "urls_per_sec": round(n_input / wall, 1),
             "phase_sec": {

@@ -462,12 +462,55 @@ def q_robots_prefix_gate(spark, sf_dir):
     return paths.select("path", allow_udf(F.col("path")).alias("allowed"))
 
 
-@register("text_url_extract", None)  # kernel regex has no SQL equivalent
+# X2 fixtures: deterministic texts through the REAL Net.java regex port,
+# expected URLs hand-derived from the Java pattern's semantics (same
+# construct set in java.util.regex; quirks asserted on purpose):
+#   t3  — a match starting "ftp://" is prefixed to "http://ftp://..."
+#         (Net.java:25-26 prefixes anything not starting with "http");
+#   t4  — "www." carries an unescaped dot but still needs word chars + dot
+#         after it, so "wwwx.example.de" does NOT match;
+#   t7  — a trailing "/" is dropped because \b cannot sit between '/' and
+#         a space (both non-word);
+#   t8  — the "/" and "~/" prefix alternatives are dead after whitespace
+#         for the same \b reason: zero matches;
+#   t6  — the reference collects into a HashSet: dup URLs emit once.
+_URL_EXTRACT_FIXTURES = [
+    ("t1", "visit http://example.com/page for info"),
+    ("t2", "secure https://shop.example.org/cart?item=1&qty=2 now"),
+    ("t3", "mirror at ftp://files.example.net/pub/file"),
+    ("t4", "bare www.example.com link and wwwx.example.de quirk"),
+    ("t5", "port http://example.com:8080/a and frag http://example.com/a#sec"),
+    ("t6", "dup http://dup.example.com/x then http://dup.example.com/x again"),
+    ("t7", "cctld http://example.de/ and http://example.io path-less"),
+    ("t8", "slash-prefix see /foo.com/bar and tilde ~/tilde.org/x here"),
+    ("t9", "no urls here at all"),
+    ("t10", "query http://q.example.com/p?a=1&b=2#frag plus www.two.net/x"),
+]
+
+_URL_EXTRACT_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1', 0, 'http://example.com/page'),
+  ('t2', 0, 'https://shop.example.org/cart?item=1&qty=2'),
+  ('t3', 0, 'http://ftp://files.example.net/pub/file'),
+  ('t4', 0, 'http://www.example.com'),
+  ('t5', 0, 'http://example.com:8080/a'),
+  ('t5', 1, 'http://example.com/a#sec'),
+  ('t6', 0, 'http://dup.example.com/x'),
+  ('t7', 0, 'http://example.de'),
+  ('t7', 1, 'http://example.io'),
+  ('t10', 0, 'http://q.example.com/p?a=1&b=2#frag'),
+  ('t10', 1, 'http://www.two.net/x')
+) AS t(fixture, pos, url)
+"""
+
+
+@register("text_url_extract", _URL_EXTRACT_ORACLE)
 def q_text_url_extract(spark, sf_dir):
-    """X2: quirky URL regex extraction from plain text (rows-only check; the
-    Java-regex port is unit-tested in tests/test_netkit.py). Output is
-    posexploded to (doc_id, pos, url) rows — scalar columns only, so the
-    driver's hash-compare (pandas sort_values) can canonicalize it.
+    """X2: quirky URL regex extraction from plain text — fixture texts
+    through the real Arrow-batched kernel, posexploded to (fixture, pos,
+    url) rows, hash-compared against literal expected URLs (the
+    robots_parse_fixture pattern; the regex itself has no SQL equivalent,
+    so the oracle is the hand-derived expected output).
     Ref: util/Net.java:19-48."""
     import pandas as pd  # noqa: F811
     from pyspark.sql.types import ArrayType, StringType
@@ -478,14 +521,11 @@ def q_text_url_extract(spark, sf_dir):
     def extract_udf(texts: pd.Series) -> pd.Series:
         return texts.map(extract_urls)
 
-    docs = _t(spark, sf_dir, "documents")
-    with_urls = docs.select(
-        "doc_id",
-        F.concat(F.lit("see http://example"),
-                 (F.col("doc_id") % 25).cast("string"),
-                 F.lit(".com/x and also "), F.col("text")).alias("text"))
-    return with_urls.select(
-        "doc_id", F.posexplode(extract_udf(F.col("text"))).alias("pos", "url"))
+    texts = spark.createDataFrame(_URL_EXTRACT_FIXTURES,
+                                  "fixture string, text string")
+    return texts.select(
+        "fixture",
+        F.posexplode(extract_udf(F.col("text"))).alias("pos", "url"))
 
 
 # ---------------------------------------------------------------------------
@@ -764,11 +804,15 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 150 AND b.vec_id < 150
   AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.5
+         * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.35
 """)
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.5) over a bounded id
-    range — the exact check LSH candidates feed into at scale."""
+    """Embedding-cosine near-dup pairs over a bounded id range — the exact
+    check LSH candidates feed into at scale. Threshold 0.35: the synthetic
+    embeddings top out at cos ~0.44, so 0.5 made the oracle vacuously
+    compare 0 rows vs 0 rows; 0.35 yields 26 pairs at both driver scale
+    factors and the nearest pair sits 2.9e-5 away from the threshold —
+    far outside float-vs-double divergence, so the row set is stable."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     a = emb.select(F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"))
@@ -780,7 +824,7 @@ def q_embedding_neardup(spark, sf_dir):
               * F.sqrt(_dot(F.col("eb"), F.col("eb")))))
     return (
         pairs.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") > 0.5)
+        .filter(F.col("cos_raw") > 0.35)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
 

@@ -40,10 +40,14 @@ def mint_docids(
         F.floor((F.col("process_seq") - 1) * n_buckets / F.lit(max(max_seq, 1)))
         .cast("int"),
     )
-    w = Window.partitionBy("mint_bucket").orderBy("process_seq", "within_order")
-    df = df.withColumn("local_rank", F.row_number().over(w))
-    # the count action below and the caller's write both consume df: persist
-    # so the upstream (bloom probe + anti-join) computes once
+    # Persist BELOW the window, not above it: the count action then
+    # materializes only the anti-join output (no sort), and the caller's
+    # single consumption pays the bucket sort exactly once, streaming the
+    # ranked rows out without writing them back to storage. Caching the
+    # post-window frame instead made the first action sort AND cache-write
+    # the full-width rows under one memory budget — measured 4.2x slower
+    # on the 40M-candidate dedup bench at 8 cores (76.8s -> 18.3s for the
+    # join+mint phase, identical docids).
     df = df.persist()
 
     counts = (
@@ -58,8 +62,10 @@ def mint_docids(
         [(k, v) for k, v in offsets.items()] or [(0, 0)],
         "mint_bucket int, bucket_offset long",
     )
+    w = Window.partitionBy("mint_bucket").orderBy("process_seq", "within_order")
     return (
-        df.join(F.broadcast(off_df), "mint_bucket", "left")
+        df.withColumn("local_rank", F.row_number().over(w))
+        .join(F.broadcast(off_df), "mint_bucket", "left")
         .withColumn(
             "docid",
             F.lit(base_docid)
@@ -81,11 +87,16 @@ def ordered_rank(
     the caller supplies an order-consistent bucketing expression (every row
     of bucket k sorts before every row of bucket k+1); local ranks within
     buckets + a prefix-sum of bucket counts give the global dense rank.
-    One tiny aggregate action (#buckets rows) is the only synchronization."""
+    One tiny aggregate action (#buckets rows) is the only synchronization.
+
+    ``order_cols`` must be a TOTAL order within each bucket (include a
+    unique tiebreaker such as docid): the window sits above the persist,
+    so a second consumption recomputes row_number and ties would rank
+    nondeterministically."""
     df = df.withColumn("_ob", bucket_col.cast("long"))
-    w = Window.partitionBy("_ob").orderBy(*order_cols)
-    df = df.withColumn("_lr", F.row_number().over(w))
-    df = df.persist()  # consumed by the count below AND the caller's write
+    # persist below the window (see mint_docids): the count materializes
+    # the un-sorted frame; the caller's single consumption pays the sort
+    df = df.persist()
     counts = df.groupBy("_ob").count().orderBy("_ob").collect()
     offsets, acc = {}, base
     for r in counts:
@@ -95,8 +106,10 @@ def ordered_rank(
     off_df = spark.createDataFrame(
         [(k, v) for k, v in offsets.items()] or [(0, 0)],
         "_ob long, _off long")
+    w = Window.partitionBy("_ob").orderBy(*order_cols)
     return (
-        df.join(F.broadcast(off_df), "_ob", "left")
+        df.withColumn("_lr", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_ob", "left")
         .withColumn(out_col,
                     (F.coalesce(F.col("_off"), F.lit(base)) + F.col("_lr"))
                     .cast("long"))

@@ -48,6 +48,7 @@ __all__ = [
     "BLOOM_SCHEMA",
     "update_blooms",
     "split_new_vs_maybe_seen",
+    "load_bitmaps",
 ]
 
 _K_HASHES = 7
@@ -143,10 +144,29 @@ def update_blooms(
     )
 
 
+def load_bitmaps(paths: list[str]) -> dict[int, tuple[int, np.ndarray]]:
+    """Driver-side pyarrow read of bloom sidecar parquet files →
+    {bucket: (nbits, bitmap)}. The broadcast probe needs the bitmaps on
+    the driver anyway; reading the (local, ≤broadcast-threshold) files
+    directly costs ZERO Spark jobs, where the collect path spent two jobs
+    per round (size agg + collect) on the engine's hot loop."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, tuple[int, np.ndarray]] = {}
+    for p in paths:
+        t = pq.read_table(p, columns=["bucket", "nbits", "bits"])
+        for b, n, bits in zip(t.column("bucket").to_pylist(),
+                              t.column("nbits").to_pylist(),
+                              t.column("bits").to_pylist()):
+            out[int(b)] = (int(n), np.frombuffer(bits, dtype=np.uint8))
+    return out
+
+
 def split_new_vs_maybe_seen(
     candidates: DataFrame,        # must carry: url, bucket (+ payload cols)
     blooms: DataFrame | None,
     broadcast_threshold_bytes: int = 256 << 20,
+    prebuilt_bitmaps: dict[int, tuple[int, np.ndarray]] | None = None,
 ) -> DataFrame:
     """Adds ``maybe_seen: boolean``. No bloom row for a bucket ⇒ nothing of
     that bucket was ever inserted ⇒ definitely new.
@@ -169,22 +189,28 @@ def split_new_vs_maybe_seen(
     probe's hash arguments (one ArrowEvalPython per reference) and the
     upstream kernel runs twice."""
     spark = candidates.sparkSession
-    if blooms is None:
+    if blooms is None and prebuilt_bitmaps is None:
         return candidates.withColumn("maybe_seen", F.lit(False))
 
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType())]
     )
 
-    sizes = blooms.select(
-        F.sum(F.octet_length("bits")).alias("b")).collect()[0]["b"] or 0
-    if sizes <= broadcast_threshold_bytes:
-        rows = blooms.collect()
-        bitmaps = {
-            int(r["bucket"]): (int(r["nbits"]),
-                               np.frombuffer(r["bits"], dtype=np.uint8))
-            for r in rows
-        }
+    if prebuilt_bitmaps is not None:
+        # caller already holds the bitmaps driver-side (e.g. read straight
+        # from the sidecar parquet with pyarrow) — zero Spark jobs here
+        use_broadcast, bitmaps = True, prebuilt_bitmaps
+    else:
+        sizes = blooms.select(
+            F.sum(F.octet_length("bits")).alias("b")).collect()[0]["b"] or 0
+        use_broadcast = sizes <= broadcast_threshold_bytes
+        if use_broadcast:
+            bitmaps = {
+                int(r["bucket"]): (int(r["nbits"]),
+                                   np.frombuffer(r["bits"], dtype=np.uint8))
+                for r in blooms.collect()
+            }
+    if use_broadcast:
         bc = spark.sparkContext.broadcast(bitmaps)
 
         # Scalar pandas UDF over exactly three int64 columns: only

@@ -29,8 +29,10 @@ broadcast robots/host-state joins, file-stat-pruned frontier claims.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +58,7 @@ from ..operators.mint import mint_docids
 from ..operators.parse import extract_candidates
 from ..operators.politeness import assign_slots, new_host_carry
 from ..operators.seen_filter import (
+    load_bitmaps,
     split_new_vs_maybe_seen,
     update_blooms,
     with_bucket,
@@ -92,6 +95,33 @@ FRONTIER_SCHEMA = StructType([
 ])
 
 SEEN_SCHEMA = "url string, docid long, bucket int"
+
+# One physical per-round state table replaces three tiny per-round
+# stagings (host politeness carry, seed-offspring counts, round scalars):
+# each was its own Spark write job every round — pure fixed cost at
+# sandbox round sizes. `kind` discriminates; unused columns are null
+# (parquet stores them for free). The driver reads the 1-row scalars
+# slice back with pyarrow (no job).
+ROUND_STATE_FIELDS: list[tuple[str, str]] = [
+    ("kind", "string"),
+    ("host", "string"), ("next_time", "long"),
+    ("seed_docid", "long"), ("cnt", "long"), ("ended_round", "int"),
+    ("s_visited", "long"), ("s_err", "long"), ("s_max_eff", "long"),
+]
+
+
+def _rs_align(df: DataFrame, kind: str) -> DataFrame:
+    """Project ``df`` onto the round_state union schema, null-filling the
+    columns this kind doesn't carry."""
+    cols = []
+    for name, dtype in ROUND_STATE_FIELDS:
+        if name == "kind":
+            cols.append(F.lit(kind).alias("kind"))
+        elif name in df.columns:
+            cols.append(F.col(name).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)
 
 
 @dataclass
@@ -204,6 +234,93 @@ class CrawlEngine:
 
     def _read(self, table: str) -> DataFrame | None:
         return self.store.read(table)
+
+    def _state_view(self, kind: str, cols: list[str],
+                    legacy_table: str) -> DataFrame | None:
+        """Filtered view of round_state for one kind, unioned with the
+        legacy standalone table when present (stores written before the
+        merge, or a legacy store that had seeds added mid-transition)."""
+        parts = []
+        rs = self.store.read("round_state")
+        if rs is not None:
+            parts.append(rs.filter(F.col("kind") == kind).select(*cols))
+        legacy = self.store.read(legacy_table)
+        if legacy is not None:
+            parts.append(legacy.select(*cols))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _host_state_view(self) -> DataFrame | None:
+        return self._state_view("host", ["host", "next_time"], "host_state")
+
+    def _seed_counts_view(self) -> DataFrame | None:
+        return self._state_view(
+            "seed", ["seed_docid", "cnt", "ended_round"], "seed_counts")
+
+    @contextmanager
+    def _small_staging(self, shuffle_partitions: int = 4):
+        """Suppress AQE around a TINY bounded staging, pinning a low static
+        shuffle-partition count for its duration. AQE materializes every
+        exchange as its own job to re-plan at runtime — worth it on the big
+        data-dependent stages (claim windows, parse fan-out, bloom probe,
+        anti-join, mint sort keep it for skew splits and partition
+        coalescing), pure scheduler overhead on frames bounded by the host
+        count / seed count / a scalar row. Disabling AQE alone regressed
+        e2e ~10%: without runtime coalescing every such shuffle ran at the
+        static 32 partitions (32 near-empty tasks per exchange), so the
+        static count must drop WITH it — that's why this wraps only frames
+        whose row bound is independent of round_size."""
+        conf = self.spark.conf
+        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        prev_sp = conf.get("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    def _read_round_scalars(self, rs_entries: list[dict]) -> tuple[int, int, int]:
+        """(n_visited, n_err, max_eff) from the staged round_state files —
+        a driver-side pyarrow read of the 1-row 'scalars' slice, zero Spark
+        jobs (the scalars were computed inside the round_state write job)."""
+        import pyarrow.parquet as pq
+
+        for e in rs_entries:
+            t = pq.read_table(
+                os.path.join(self.store.root, e["path"]),
+                columns=["kind", "s_visited", "s_err", "s_max_eff"])
+            for kind, sv, se, sm in zip(t.column("kind").to_pylist(),
+                                        t.column("s_visited").to_pylist(),
+                                        t.column("s_err").to_pylist(),
+                                        t.column("s_max_eff").to_pylist()):
+                if kind == "scalars":
+                    return int(sv or 0), int(se or 0), int(sm or 0)
+        return 0, 0, 0
+
+    _BLOOM_BROADCAST_BYTES = 256 << 20
+
+    def _probe_blooms(self, candidates: DataFrame) -> DataFrame:
+        """maybe_seen column via the bloom sidecar. While the sidecar fits
+        the broadcast threshold, the bitmaps are read straight off the
+        local sidecar parquet with pyarrow (file sizes via stat) — ZERO
+        Spark jobs on the hot loop, where the collect-based path spent two
+        (size agg + collect) per round. Past the threshold the cogrouped
+        applyInPandas strategy takes over unchanged."""
+        entries = self.store.table_files("seen_bloom")
+        if not entries:
+            return split_new_vs_maybe_seen(candidates, None)
+        paths = [os.path.join(self.store.root, e["path"]) for e in entries]
+        total = sum(os.path.getsize(p) for p in paths)
+        if total <= self._BLOOM_BROADCAST_BYTES:
+            return split_new_vs_maybe_seen(
+                candidates, None, prebuilt_bitmaps=load_bitmaps(paths))
+        return split_new_vs_maybe_seen(candidates, self._read("seen_bloom"))
 
     def _parse_rules(self, bodies: DataFrame, fetched_at: int) -> DataFrame:
         """(host, body) -> robots_rules rows via the Arrow-batched parser
@@ -410,10 +527,11 @@ class CrawlEngine:
                 frontier_delta = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
                 adds["frontier"] = self.store.stage_dataframe(
                     frontier_delta, stats_cols=["priority", "depth", "docid"])
-                adds["seed_counts"] = self.store.stage_dataframe(
+                adds["round_state"] = self.store.stage_dataframe(_rs_align(
                     frontier_delta.groupBy("seed_docid").agg(
                         F.count("*").cast("long").alias("cnt"))
-                    .withColumn("ended_round", F.lit(None).cast("int")))
+                    .withColumn("ended_round", F.lit(None).cast("int")),
+                    "seed"))
             adds["seen"] = self.store.stage_dataframe(seen_delta)
             blooms = update_blooms(
                 seen_delta, self._read("seen_bloom"),
@@ -436,12 +554,19 @@ class CrawlEngine:
         the frontier is empty (termination condition, SURVEY §2.8)."""
         t0 = time.time()
         phases: dict[str, float] = {}
-        _last = [t0]
+        phase_jobs: dict[str, int] = {}
+        _last = [t0, 0]
 
         def mark(name: str) -> None:
             now = time.time()
             phases[name] = round(now - _last[0], 2)
             _last[0] = now
+            # per-phase job attribution (driver-side metadata call): the
+            # fixed-cost diet's meter needs to say WHERE the jobs go
+            n = len(self.spark.sparkContext.statusTracker()
+                    .getJobIdsForGroup(job_group))
+            phase_jobs[name] = n - _last[1]
+            _last[1] = n
 
         cfg, sim = self.cfg, self.cfg.sim
         # per-round Spark job accounting (the fixed-cost diet's meter)
@@ -470,7 +595,7 @@ class CrawlEngine:
 
         # --- politeness slots + process order (O1-O4) ---
         slotted = assign_slots(
-            claimed, self._read("host_state"), self.clock, sim.politeness_ms,
+            claimed, self._host_state_view(), self.clock, sim.politeness_ms,
             dense_seq_distributed=cfg.dense_seq_distributed)
         if cfg.max_host_slots_per_round is not None:
             # defer a hot host's tail beyond the cap: those rows are simply
@@ -538,8 +663,12 @@ class CrawlEngine:
                     misses = misses.withColumn(name, F.lit(None).cast(dtype))
             misses = (misses.withColumn("round", F.lit(self.round))
                       .withColumn("bad_charset", F.lit(False)))
-            miss_entries = self.store.stage_dataframe(
-                misses.select(*hits.columns))
+            # broadcast anti-join over staged files: shuffle-free plan, so
+            # no-AQE here skips its broadcast-stage job without touching
+            # any shuffle partitioning
+            with self._small_staging():
+                miss_entries = self.store.stage_dataframe(
+                    misses.select(*hits.columns))
             fetched_entries = hit_entries + miss_entries
         mark("fetch")
         fetched = self.store.read("fetched_tmp", files=fetched_entries)
@@ -593,7 +722,7 @@ class CrawlEngine:
         mark("parse_candidates")
         candidates = self.store.read("candidates_tmp", files=cand_entries)
         n_deduped = sum(e["rows"] for e in cand_entries)
-        candidates = split_new_vs_maybe_seen(candidates, self._read("seen_bloom"))
+        candidates = self._probe_blooms(candidates)
         # both branches below consume the probed set: persist so the bloom
         # probe (and its upstream) runs once
         candidates = candidates.persist()
@@ -610,10 +739,17 @@ class CrawlEngine:
 
         # --- mint docids in arrival order (J1 hard part) ---
         minted = mint_docids(fresh, self.last_docid, n_claimed, cfg.mint_buckets)
-        minted_entries = self.store.stage_dataframe(minted)
+        # The slim (url, docid, bucket) projection IS the round's durable
+        # artifact — stage it directly as the seen-table delta. This action
+        # pays mint's bucket sort once; the gates below recompute the window
+        # from mint's internal cache (measured cheap — the sort of a round's
+        # rows, no cache write) instead of round-tripping a full-width
+        # minted copy through parquet. One write job less per round, and
+        # the 10^10-row seen table keeps slim files (no parse payload).
+        seen_entries = self.store.stage_dataframe(
+            minted.select("url", "docid", "bucket"))
         mark("dedup_mint")
-        minted = self.store.read("minted_tmp", files=minted_entries)
-        n_minted = sum(e["rows"] for e in minted_entries)
+        n_minted = sum(e["rows"] for e in seen_entries)
 
         # --- gates: depth (F7), shouldVisit (F4), robots (F5/F6/J4) ---
         admissible = minted.withColumn("depth", F.col("parent_depth") + 1)
@@ -675,36 +811,17 @@ class CrawlEngine:
               | (F.col("content_length") > sim.max_download_size))
              & ~F.col("status_code").isin(list(REDIRECT_CODES)))
             | (is_ok & F.col("bad_charset")))
-        srow = fetched.agg(
-            F.sum(F.when(visited_cond, 1).otherwise(0)).alias("n_visited"),
-            F.sum(F.when(err_cond, 1).otherwise(0)).alias("n_err"),
-            F.max("eff_time").alias("max_eff"),
-        ).collect()[0]
-        n_visited = int(srow["n_visited"] or 0)
-        n_err = int(srow["n_err"] or 0)
-        max_eff = srow["max_eff"] or 0
-        mark("round_scalars")
 
-        # --- politeness carry + clock advance ---
-        carry = new_host_carry(slotted, self.clock, sim.politeness_ms)
-        old_state = self._read("host_state")
-        if old_state is not None:
-            # keep future entries of hosts not fetched this round
-            carry = (
-                old_state.join(carry.select("host"), "host", "left_anti")
-                .filter(F.col("next_time") >= self.clock)   # prune expired
-                .unionByName(carry)
-            )
-        host_entries = self.store.stage_dataframe(carry.coalesce(1))
-        mark("politeness_carry")
-        new_clock = self.clock + int(max_eff)
-
-        # --- seen delta + bloom update ---
-        seen_delta = minted.select("url", "docid", "bucket")
-        seen_entries = self.store.stage_dataframe(seen_delta)
+        # --- bloom update over the staged (slim) seen delta ---
+        seen_delta = self.store.read("seen", files=seen_entries)
+        if seen_delta is None:
+            seen_delta = self.spark.createDataFrame([], SEEN_SCHEMA)
         bloom_new = update_blooms(
             seen_delta, self._read("seen_bloom"),
             cfg.n_seen_buckets, cfg.expected_urls_per_bucket)
+        # AQE stays ON: the shuffle INPUT is the round's seen delta and the
+        # per-bucket bitmap build wants full-width parallelism — only the
+        # output is bounded by n_seen_buckets rows
         bloom_entries = self.store.stage_dataframe(bloom_new.coalesce(4))
         mark("bloom_update")
 
@@ -724,7 +841,22 @@ class CrawlEngine:
         frontier_entries = untouched + new_head_entries + admitted_entries
         mark("frontier_rewrite")
 
-        # --- seed-end events (J5 handleSeedEnd), incremental ---
+        # --- round_state: politeness carry (O4) + seed-offspring counts
+        # (J5) + fetch-log scalars, in ONE staged union table. Formerly
+        # three write jobs plus a scalar collect per round — pure fixed
+        # cost. Every branch reads only staged parquet (claimed, admitted,
+        # fetched files, previous round_state), so the union's concurrent
+        # branch scheduling under AQE touches no unmaterialized cache.
+        carry = new_host_carry(slotted, self.clock, sim.politeness_ms)
+        old_state = self._host_state_view()
+        if old_state is not None:
+            # keep future entries of hosts not fetched this round
+            carry = (
+                old_state.join(carry.select("host"), "host", "left_anti")
+                .filter(F.col("next_time") >= self.clock)   # prune expired
+                .unionByName(carry)
+            )
+
         # seed_counts(seed_docid, cnt) = live pending rows per seed,
         # maintained by round deltas (claimed−, admitted+) so the cost is
         # O(round), never a scan of the 10^10-row frontier. cnt→0 ⇒ ended.
@@ -737,16 +869,16 @@ class CrawlEngine:
         else:
             admitted_per_seed = self.spark.createDataFrame(
                 [], "seed_docid long, admitted_n long")
-        old_counts = self._read("seed_counts")
+        old_counts = self._seed_counts_view()
         if old_counts is None:
             old_counts = self.spark.createDataFrame(
                 [], "seed_docid long, cnt long, ended_round int")
         new_cnt = (F.coalesce(F.col("cnt"), F.lit(0))
                    - F.coalesce(F.col("claimed_n"), F.lit(0))
                    + F.coalesce(F.col("admitted_n"), F.lit(0)))
-        # ONE staged table carries both the live counts and the end events:
-        # ended_round is stamped the first round cnt reaches 0 and then
-        # sticks (exactly-once emission); seed_events() is a filtered view.
+        # live counts and end events share the rows: ended_round is stamped
+        # the first round cnt reaches 0 and then sticks (exactly-once
+        # emission); seed_events() is a filtered view.
         merged = (
             old_counts.join(claimed_per_seed, "seed_docid", "outer")
             .join(admitted_per_seed, "seed_docid", "outer")
@@ -758,8 +890,24 @@ class CrawlEngine:
                     F.when(new_cnt <= 0, F.lit(self.round)),
                 ).cast("int").alias("ended_round"))
         )
-        seed_count_entries = self.store.stage_dataframe(merged.coalesce(4))
-        mark("seed_events")
+
+        scalars = fetched.agg(
+            F.sum(F.when(visited_cond, 1).otherwise(0)).cast("long")
+            .alias("s_visited"),
+            F.sum(F.when(err_cond, 1).otherwise(0)).cast("long")
+            .alias("s_err"),
+            F.max("eff_time").cast("long").alias("s_max_eff"),
+        )
+        round_state = (
+            _rs_align(carry, "host")
+            .unionByName(_rs_align(merged, "seed"))
+            .unionByName(_rs_align(scalars, "scalars"))
+        )
+        with self._small_staging():  # hosts-touched + seeds + 1 scalar row
+            rs_entries = self.store.stage_dataframe(round_state.coalesce(4))
+        n_visited, n_err, max_eff = self._read_round_scalars(rs_entries)
+        new_clock = self.clock + int(max_eff)
+        mark("round_state")
 
         # --- metrics (A1/A2) with per-partition lineage ---
         # Counters ride the commit manifest (no Spark write job): they are
@@ -780,22 +928,29 @@ class CrawlEngine:
 
         self.clock = new_clock
         self.spark.catalog.clearCache()  # drop per-round persisted frames
+        replaces = {
+            "frontier": frontier_entries,
+            "seen_bloom": bloom_entries,
+            "round_state": rs_entries,
+        }
+        # a resumed pre-merge store carried standalone host_state /
+        # seed_counts tables; their content is folded into round_state by
+        # the views above, so drop them at the first new-format commit
+        tables_now = self.store.manifest().get("tables", {})
+        for legacy in ("host_state", "seed_counts"):
+            if legacy in tables_now:
+                replaces[legacy] = []
         self.store.commit(
             adds={
                 "seen": seen_entries,
                 "fetch_log": fetched_entries,
             },
-            replaces={
-                "frontier": frontier_entries,
-                "seen_bloom": bloom_entries,
-                "host_state": host_entries,
-                "seed_counts": seed_count_entries,
-            },
+            replaces=replaces,
             props=self._props(),
             lineage={
                 "round": self.round,
                 "claimed_files": [e["path"] for e in claimed_entries],
-                "minted_files": [e["path"] for e in minted_entries],
+                "minted_files": [e["path"] for e in seen_entries],
                 "head_files_rewritten": sorted(head_paths),
                 "n_claimed": n_claimed,
                 "n_minted": n_minted,
@@ -816,6 +971,7 @@ class CrawlEngine:
             "wall_sec": time.time() - t0,
             "jobs": n_jobs,
             "phases": phases,
+            "phase_jobs": phase_jobs,
         }
 
     def _props(self) -> dict:
@@ -904,7 +1060,7 @@ class CrawlEngine:
         one row (seed_docid, round) per seed whose offspring drained —
         ended_round is stamped once and sticks, so emission is exactly-once
         without a separate per-round event staging."""
-        counts = self._read("seed_counts")
+        counts = self._seed_counts_view()
         if counts is None:
             return None
         return counts.filter(F.col("ended_round").isNotNull()).select(

@@ -194,13 +194,22 @@ def test_resume_old_schema_store(spark, tmp_path):
     eng.run_round()
     eng.run_round()
 
-    # strip the store back to the pre-round-3 schema on disk
+    # strip the store back to the pre-round-3 on-disk layout: standalone
+    # host_state/seed_counts tables (no round_state), seed_counts without
+    # ended_round, robots_rules without fetched_at, fetch_log without
+    # bad_charset
     store = eng.store
-    old_counts = store.read("seed_counts").drop("ended_round")
+    rs = store.read("round_state")
+    legacy_counts = (rs.filter(F.col("kind") == "seed")
+                     .select("seed_docid", "cnt"))
+    legacy_hosts = (rs.filter(F.col("kind") == "host")
+                    .select("host", "next_time"))
     old_rules = store.read("robots_rules").drop("fetched_at")
     old_log = store.read("fetch_log").drop("bad_charset")
     store.commit(replaces={
-        "seed_counts": store.stage_dataframe(old_counts),
+        "round_state": [],
+        "seed_counts": store.stage_dataframe(legacy_counts),
+        "host_state": store.stage_dataframe(legacy_hosts),
         "robots_rules": store.stage_dataframe(old_rules),
         "fetch_log": store.stage_dataframe(old_log),
     })
@@ -211,6 +220,8 @@ def test_resume_old_schema_store(spark, tmp_path):
     eng2 = CrawlEngine(spark, str(tmp_path / "old"), config=_cfg())
     counts = eng2.store.read("seed_counts")
     assert "ended_round" in counts.columns
+    assert eng2._seed_counts_view() is not None
+    assert eng2._host_state_view() is not None
     rules = eng2.store.read("robots_rules")
     assert "fetched_at" in rules.columns
     assert rules.filter(F.col("fetched_at") != 0).count() == 0
@@ -225,3 +236,78 @@ def test_resume_old_schema_store(spark, tmp_path):
     eng2.crawl(max_rounds=50)
     assert eng2.documents().count() >= len(docs_before)
     assert eng2.seed_events() is not None
+
+
+@pytest.mark.slow
+def test_kill9_mid_staging_resumes(spark, tmp_path):
+    """A SIGKILL landing right after a staging write (files on disk, no
+    manifest commit — the round-2 tmpfs flake's worst-case timing) must
+    leave the store resumable: the interrupted round replays and the crawl
+    finishes byte-identical to an uninterrupted run."""
+    import subprocess
+    import sys
+
+    gen = generate_corpus(CorpusSpec(n_pages=100, n_hosts=5, seed=77))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+
+    # uninterrupted reference
+    full = CrawlEngine(spark, str(tmp_path / "full9"), corpus_df, robots_df,
+                       _cfg())
+    full.add_seeds(gen.seeds)
+    full.crawl(max_rounds=200)
+
+    # child process crawls the same corpus and SIGKILLs itself right after
+    # the Nth staging write (mid-round, post-write, pre-commit)
+    store = str(tmp_path / "kill9")
+    child = f"""
+import os, sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from crawler4j_spark.sources.tableio import SnapshotStore
+_orig = SnapshotStore.stage_dataframe
+_calls = [0]
+def _wrapped(self, df, stats_cols=None):
+    entries = _orig(self, df, stats_cols)
+    _calls[0] += 1
+    if _calls[0] == 18:           # lands inside round 2
+        os.kill(os.getpid(), 9)   # no atexit, no finally — hard death
+    return entries
+SnapshotStore.stage_dataframe = _wrapped
+
+from crawler4j_spark.plans.engine import CrawlEngine, EngineConfig
+from crawler4j_spark.plans.refsim import SimConfig
+from crawler4j_spark.session import get_spark
+from crawler4j_spark.sources.corpus import CorpusSpec, generate_corpus
+from tests.conftest import make_corpus_dfs
+
+spark = get_spark("kill9", master="local[4]", shuffle_partitions=4)
+gen = generate_corpus(CorpusSpec(n_pages=100, n_hosts=5, seed=77))
+corpus_df, robots_df = make_corpus_dfs(spark, gen)
+cfg = EngineConfig(sim=SimConfig(max_depth=3, politeness_ms=200),
+                   round_size=25, n_seen_buckets=8,
+                   expected_urls_per_bucket=2000, mint_buckets=4)
+eng = CrawlEngine(spark, {repr(store)}, corpus_df, robots_df, cfg)
+eng.add_seeds(gen.seeds)
+eng.crawl(max_rounds=200)
+print("NOT KILLED — wrapper never hit call 18", file=sys.stderr)
+sys.exit(3)
+"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    proc = subprocess.run([sys.executable, "-c", child], env=env,
+                          cwd=repo_root, capture_output=True, text=True,
+                          timeout=480)
+    assert proc.returncode == -9, (proc.returncode, proc.stderr[-2000:])
+
+    # resume on the same store: orphaned staging/data files are swept,
+    # the half-done round replays, terminal state matches the full run
+    eng2 = CrawlEngine(spark, store, corpus_df, robots_df, _cfg())
+    eng2.store.gc_unreferenced()
+    eng2.crawl(max_rounds=200)
+    assert eng2.seen_map() == full.seen_map()
+    assert eng2.last_docid == full.last_docid
+    assert eng2.processed_pages == full.processed_pages
+    va = [(r["url"], r["docid"]) for r in
+          full.visited_log().select("url", "docid").collect()]
+    vb = [(r["url"], r["docid"]) for r in
+          eng2.visited_log().select("url", "docid").collect()]
+    assert va == vb
