@@ -166,10 +166,15 @@ def frontier_bench(parallelism: int, spec_name: str = "default",
         scheduled = sum(r["admitted"] for r in rounds)
         claimed = sum(r["claimed"] for r in rounds)
         phase_totals: dict = {}
+        phase_job_totals: dict = {}
         for r in rounds:
             for k, v in r.get("phases", {}).items():
                 phase_totals[k] = round(phase_totals.get(k, 0.0) + v, 2)
+            for k, v in r.get("phase_jobs", {}).items():
+                phase_job_totals[k] = phase_job_totals.get(k, 0) + v
         jobs = [r["jobs"] for r in rounds if "jobs" in r]
+        phase_jobs_avg = {k: round(v / max(len(rounds), 1), 1)
+                          for k, v in phase_job_totals.items()}
         shutil.rmtree(store, ignore_errors=True)
         return {
             "parallelism": parallelism,
@@ -182,6 +187,7 @@ def frontier_bench(parallelism: int, spec_name: str = "default",
             "urls_per_sec": round((deduped + scheduled) / wall, 1),
             "phase_sec": phase_totals,
             "jobs_per_round": round(sum(jobs) / len(jobs), 1) if jobs else None,
+            "phase_jobs_per_round": phase_jobs_avg,
         }
     finally:
         spark.stop()

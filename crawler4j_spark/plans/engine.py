@@ -32,7 +32,6 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -261,29 +260,16 @@ class CrawlEngine:
         return self._state_view(
             "seed", ["seed_docid", "cnt", "ended_round"], "seed_counts")
 
-    @contextmanager
-    def _small_staging(self, shuffle_partitions: int = 4):
-        """Suppress AQE around a TINY bounded staging, pinning a low static
-        shuffle-partition count for its duration. AQE materializes every
-        exchange as its own job to re-plan at runtime — worth it on the big
-        data-dependent stages (claim windows, parse fan-out, bloom probe,
-        anti-join, mint sort keep it for skew splits and partition
-        coalescing), pure scheduler overhead on frames bounded by the host
-        count / seed count / a scalar row. Disabling AQE alone regressed
-        e2e ~10%: without runtime coalescing every such shuffle ran at the
-        static 32 partitions (32 near-empty tasks per exchange), so the
-        static count must drop WITH it — that's why this wraps only frames
-        whose row bound is independent of round_size."""
-        conf = self.spark.conf
-        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-        prev_sp = conf.get("spark.sql.shuffle.partitions", "32")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        try:
-            yield
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev_aqe)
-            conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # NOTE on AQE and the jobs/round meter: AQE materializes every exchange
+    # as its own Spark job, so the meter over-counts "fixed cost" relative
+    # to wall. Suppressing AQE around the small stagings (no-AQE + static
+    # shuffle.partitions=4 scopes) cut jobs/round 65→58 but cost 13-16%
+    # e2e WALL in a same-noise-window A/B at 32 cores (90.3 s with AQE
+    # everywhere vs 118.9 s with the scopes; round-2 code measured 102.3 s
+    # in the same window): joins above aggregations lose their runtime
+    # broadcast conversion and run as 4-partition sort-merge joins, and
+    # tiny shuffles lose runtime coalescing. AQE's extra jobs are cheap
+    # scheduler bookkeeping — leave it on everywhere.
 
     def _read_round_scalars(self, rs_entries: list[dict]) -> tuple[int, int, int]:
         """(n_visited, n_err, max_eff) from the staged round_state files —
@@ -663,12 +649,8 @@ class CrawlEngine:
                     misses = misses.withColumn(name, F.lit(None).cast(dtype))
             misses = (misses.withColumn("round", F.lit(self.round))
                       .withColumn("bad_charset", F.lit(False)))
-            # broadcast anti-join over staged files: shuffle-free plan, so
-            # no-AQE here skips its broadcast-stage job without touching
-            # any shuffle partitioning
-            with self._small_staging():
-                miss_entries = self.store.stage_dataframe(
-                    misses.select(*hits.columns))
+            miss_entries = self.store.stage_dataframe(
+                misses.select(*hits.columns))
             fetched_entries = hit_entries + miss_entries
         mark("fetch")
         fetched = self.store.read("fetched_tmp", files=fetched_entries)
@@ -903,8 +885,7 @@ class CrawlEngine:
             .unionByName(_rs_align(merged, "seed"))
             .unionByName(_rs_align(scalars, "scalars"))
         )
-        with self._small_staging():  # hosts-touched + seeds + 1 scalar row
-            rs_entries = self.store.stage_dataframe(round_state.coalesce(4))
+        rs_entries = self.store.stage_dataframe(round_state.coalesce(4))
         n_visited, n_err, max_eff = self._read_round_scalars(rs_entries)
         new_clock = self.clock + int(max_eff)
         mark("round_state")
