@@ -613,6 +613,28 @@ def _pin_cpus(n: int) -> None:
     os.sched_setaffinity(0, set(range(n)))
 
 
+def _fastpath_hit_rate(cand, sample_rows: int = 200_000) -> dict:
+    """Fraction of candidate hrefs each batch prescreen handles without
+    falling back to the per-element Python kernel, over a deterministic
+    head sample (the generator interleaves shapes uniformly, so the head is
+    representative). Driver-side pandas over one small collect."""
+    from crawler4j_spark.functions import urlkit
+    from crawler4j_spark.functions.udfs import _SIMPLE_HOST, _SIMPLE_PATH
+
+    pdf = cand.select("raw_href").limit(sample_rows).toPandas()
+    urls = pdf["raw_href"].dropna()
+    n = max(len(urls), 1)
+    canon = urls.str.match(urlkit._CANONICAL_FAST).sum()
+    host = urls.str.extract(_SIMPLE_HOST, expand=False).notna().sum()
+    path = urls.str.match(_SIMPLE_PATH).sum()
+    return {
+        "sampled": int(len(urls)),
+        "canonicalize": round(float(canon) / n, 4),
+        "host": round(float(host) / n, 4),
+        "path": round(float(path) / n, 4),
+    }
+
+
 def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
                          stage: str = "full") -> dict:
     from pyspark.sql import functions as F
@@ -656,6 +678,11 @@ def dedup_pipeline_bench(parallelism: int, tmpfs: bool = True,
                 "canonical": n,
                 "wall_sec": round(wall, 2),
                 "urls_per_sec": round(n_input / wall, 1),
+                # measured per run (untimed): share of this workload's URLs
+                # the C-speed prescreens fully handle, i.e. how often the
+                # Python kernels are skipped — the number the fast-path
+                # optimization claims live on
+                "fastpath_hit_rate": _fastpath_hit_rate(cand),
             }
         # The canonicalize kernel must run EXACTLY once, which takes care:
         #  * a `filter(url.isNotNull())` referencing the UDF output splits

@@ -157,3 +157,31 @@ def decode_content(data: bytes | None, charset: str | None) -> str:
     if data is None:
         return ""
     return data.decode(charset or "utf-8", errors="replace")
+
+
+def charset_series(content_types) -> "object":
+    """Vectorized :func:`charset_from_content_type` over a pandas Series of
+    Content-Type header values: one C-speed ``str.extract`` pass, charset
+    names stripped, None where the parameter is absent. Assumes the batch
+    already passed :func:`bad_charset_mask` (unknown names were routed to
+    the error channel upstream), so no registry lookup here."""
+    names = content_types.str.extract(_CHARSET_PARAM, expand=False)
+    return names.str.strip()
+
+
+def decode_contents(data, charsets) -> "object":
+    """Vectorized :func:`decode_content` over aligned pandas Series of raw
+    payload bytes and charset names: rows are grouped by effective codec
+    (None → platform default UTF-8) and each group decodes in one C-speed
+    ``Series.str.decode`` call — per-batch cost is #distinct-charsets codec
+    dispatches instead of #rows Python calls."""
+    import pandas as pd
+
+    out = pd.Series("", index=data.index, dtype=object)
+    present = data.notna()
+    if not present.any():
+        return out
+    eff = charsets.where(charsets.notna(), "utf-8")
+    for codec, sub in data[present].groupby(eff[present]):
+        out.loc[sub.index] = sub.str.decode(codec, errors="replace")
+    return out

@@ -1505,16 +1505,18 @@ def q_charset_decode(spark, sf_dir):
     platform default). The payload is encoded with the SAME charset the
     header declares, so a correct decode round-trips the text; decoding
     latin-1 bytes as UTF-8 would corrupt the non-ASCII prefix and fail the
-    hash compare. Runs the real netkit kernels (charset_from_content_type +
-    decode_content) through an Arrow-batched UDF.
-    Ref: crawler/Page.java:129-135, parser/Parser.java:79-82,162-171."""
+    hash compare. Runs the real netkit kernels through an Arrow-batched UDF —
+    the vectorized batch forms (charset_series + decode_contents): one regex
+    extract pass plus one C-speed Series.str.decode per distinct charset,
+    no per-row Python. Ref: crawler/Page.java:129-135,
+    parser/Parser.java:79-82,162-171."""
     from typing import Iterator as _It
 
     from pyspark.sql.types import (
         LongType, StringType, StructField, StructType,
     )
 
-    from ..functions.netkit import charset_from_content_type, decode_content
+    from ..functions.netkit import charset_series, decode_contents
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pages = docs.select(
@@ -1538,12 +1540,11 @@ def q_charset_decode(spark, sf_dir):
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                cs = charset_from_content_type(r.content_type)
-                rows.append(
-                    (r.doc_id, cs, decode_content(bytes(r.content_data), cs)))
-            yield pd.DataFrame(rows, columns=["doc_id", "charset", "decoded"])
+            cs = charset_series(pdf["content_type"])
+            decoded = decode_contents(pdf["content_data"], cs)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "charset": cs.where(cs.notna(), None),
+                                "decoded": decoded})
 
     return pages.mapInPandas(gen, out_schema)
 

@@ -88,3 +88,44 @@ def test_decode_content():
     # malformed input -> U+FFFD replacement, like java.lang.String
     assert "�" in dec(b"\xff\xfe caf\xe9", "utf-8")
     assert dec(None, "UTF-8") == ""
+
+
+def test_vectorized_charset_kernels_match_scalar():
+    """charset_series/decode_contents (the batch fast path) must agree with
+    the scalar kernels row for row, including absent charsets, null data,
+    malformed bytes, and mixed-codec batches."""
+    import pandas as pd
+
+    from crawler4j_spark.functions.netkit import (
+        charset_from_content_type,
+        charset_series,
+        decode_content,
+        decode_contents,
+    )
+
+    ctypes = [
+        "text/html; charset=UTF-8",
+        'text/plain; charset="iso-8859-1"',
+        "text/html",
+        None,
+        "text/plain; charset= Shift_JIS ",
+        "text/html; charset=UTF-8",
+    ]
+    payloads = [
+        "café ü".encode("utf-8"),
+        "café ü".encode("iso-8859-1"),
+        "plain".encode("utf-8"),
+        None,
+        "日本語".encode("shift_jis"),
+        b"\xff\xfe broken",
+    ]
+    ct = pd.Series(ctypes, dtype=object)
+    data = pd.Series(payloads, dtype=object)
+
+    cs = charset_series(ct)
+    dec = decode_contents(data, cs)
+    for i in range(len(ctypes)):
+        want_cs = charset_from_content_type(ctypes[i])
+        got_cs = cs.iloc[i]
+        assert (got_cs == want_cs) or (pd.isna(got_cs) and want_cs is None)
+        assert dec.iloc[i] == decode_content(payloads[i], want_cs)
