@@ -31,7 +31,14 @@ from typing import Iterable, Optional
 
 from .urlkit import canonicalize
 
-__all__ = ["Candidate", "outlink_candidates", "LINK_KINDS", "body_text"]
+__all__ = [
+    "Candidate",
+    "outlink_candidates",
+    "link_hrefs",
+    "candidates_from_canonical",
+    "LINK_KINDS",
+    "body_text",
+]
 
 # kinds that carry an outgoing link (everything except pure body text)
 LINK_KINDS = frozenset({"a", "area", "link", "img", "iframe", "frame", "embed", "meta"})
@@ -47,6 +54,54 @@ class Candidate:
     order: int               # first-occurrence index among kept candidates
 
 
+def link_hrefs(
+    spans: Iterable[tuple[str, Optional[str], Optional[str], int]],
+) -> list[tuple[str, str, str]]:
+    """Pre-canonicalize half of the outlink pipeline: link spans in document
+    order, junk-filtered (Parser.java:138-144) — (kind, href, anchor) tuples.
+    Shared by the per-page kernel below and the vectorized parse stage
+    (operators/parse.py), so the junk filter has ONE definition."""
+    ordered = sorted(spans, key=lambda s: s[3])
+    out: list[tuple[str, str, str]] = []
+    for kind, text, media_ref, _offset in ordered:
+        if kind not in LINK_KINDS or media_ref is None:
+            continue
+        href = media_ref.strip()
+        if not href:
+            continue
+        low = href.lower()
+        if "javascript:" in low or "mailto:" in low or "@" in low:
+            continue
+        out.append((kind, href, text or ""))
+    return out
+
+
+def candidates_from_canonical(
+    items: Iterable[tuple[str, Optional[str], str]],   # (kind, canonical, anchor)
+    max_outlinks: int = DEFAULT_MAX_OUTLINKS,
+) -> list[Candidate]:
+    """Post-canonicalize half: the reference's counting/cap/dedup loop over
+    already-canonicalized candidates (Parser.java:146-158). The cap counts
+    every non-null canonical URL INCLUDING within-page duplicates and breaks
+    only after exceeding it (the ``urlCount++; if (urlCount > max) break;``
+    max+1 off-by-one); dedup keeps the first occurrence. Canonicalizing a
+    few extra hrefs past the cap and breaking here is output-identical to
+    the reference's early break — the break only saves work."""
+    seen: set[str] = set()
+    out: list[Candidate] = []
+    url_count = 0
+    for kind, url, anchor in items:
+        if url is None:
+            continue
+        if url not in seen:
+            seen.add(url)
+            out.append(Candidate(url=url, tag=kind, anchor=anchor, order=len(out)))
+        url_count += 1
+        if url_count > max_outlinks:
+            break
+    return out
+
+
 def outlink_candidates(
     page_url: str,
     spans: Iterable[tuple[str, Optional[str], Optional[str], int]],
@@ -57,29 +112,11 @@ def outlink_candidates(
     ``spans``: iterable of (kind, text, media_ref, offset); need not be
     pre-sorted — sorted by offset here.
     """
-    ordered = sorted(spans, key=lambda s: s[3])
-    seen: dict[str, int] = {}
-    out: list[Candidate] = []
-    url_count = 0
-    for kind, text, media_ref, _offset in ordered:
-        if kind not in LINK_KINDS or media_ref is None:
-            continue
-        href = media_ref.strip()
-        if not href:
-            continue
-        low = href.lower()
-        if "javascript:" in low or "mailto:" in low or "@" in low:
-            continue
-        url = canonicalize(href, page_url)
-        if url is None:
-            continue
-        if url not in seen:
-            seen[url] = len(out)
-            out.append(Candidate(url=url, tag=kind, anchor=text or "", order=len(out)))
-        url_count += 1
-        if url_count > max_outlinks:
-            break
-    return out
+    return candidates_from_canonical(
+        ((kind, canonicalize(href, page_url), anchor)
+         for kind, href, anchor in link_hrefs(spans)),
+        max_outlinks,
+    )
 
 
 def body_text(

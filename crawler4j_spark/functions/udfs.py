@@ -70,8 +70,12 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return out
 
 
-@F.pandas_udf(StringType())
-def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+def canonicalize_batch(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+    """Batch canonicalize(href, context): the _CANONICAL_FAST prescreen runs
+    in C over the whole Arrow batch (a match is provably identity, context
+    irrelevant — property-tested in tests/test_urlkit.py); only misses fall
+    back to the per-element kernel. Shared by the context UDF below and the
+    vectorized parse stage (operators/parse.py)."""
     mask = hrefs.str.match(urlkit._CANONICAL_FAST).eq(True)
     out = hrefs.copy()
     slow = ~mask
@@ -81,6 +85,11 @@ def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.S
             for h, c in zip(hrefs[slow], contexts[slow])
         ]
     return out
+
+
+@F.pandas_udf(StringType())
+def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+    return canonicalize_batch(hrefs, contexts)
 
 
 @F.pandas_udf(StringType())

@@ -624,19 +624,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     sets; the string-minhash (min over md5 hex ordering) is engine-portable.
     At scale the band join replaces the O(n²) pairwise comparison."""
     sh = _shingles(spark, sf_dir)
-    salts = spark.range(8).select(F.col("id").cast("int").alias("salt"))
-    mh = (
-        sh.crossJoin(F.broadcast(salts))
-        .groupBy("doc_id", "salt")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("salt").cast("string"),
-                                     F.col("shingle")))).alias("minhash"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("salt") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
-                        lambda s: s["minhash"]), "").alias("bucket_sig"))
+    # All 8 salted minhashes as conditional aggregates of ONE groupBy(doc_id)
+    # — no crossJoin(salts) 8x row blowup before the shuffle, no second
+    # per-(doc_id, band) shuffle for the band pivot (the round-1 shape paid
+    # both, plus a collect_list+array_sort per band). Shuffle bytes drop 8x
+    # on the first exchange and the plan goes 3 exchanges -> 2.
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))))
+        .alias(f"m{s}")
+        for s in range(8)
+    ])
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            for b in range(4)
+        ])).alias("band", "bucket_sig"),
     )
     return (
         bands.groupBy("band", "bucket_sig")

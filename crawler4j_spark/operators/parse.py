@@ -33,13 +33,15 @@ from pyspark.sql.types import (
 )
 
 from ..functions.netkit import (
+    UnsupportedCharsetError,
     charset_from_content_type,
     decode_content,
     extract_urls,
     has_binary_content,
     has_plain_text_content,
 )
-from ..functions.spans import body_text, outlink_candidates
+from ..functions.spans import body_text, candidates_from_canonical, link_hrefs
+from ..functions.udfs import canonicalize_batch
 
 __all__ = ["extract_candidates", "CANDIDATE_SCHEMA"]
 
@@ -66,13 +68,18 @@ def extract_candidates(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            # Pass 1: junk-filter every HTML page's link spans (shared
+            # link_hrefs kernel) into ONE flat batch of (href, page_url);
+            # plain-text/binary pages are handled inline as before.
+            html_pages = []          # (row, kinds, anchors, start, stop)
+            flat_hrefs: list[str] = []
+            flat_ctx: list[str] = []
             for r in pdf.itertuples(index=False):
                 ctype = r.content_type
                 spans = [
                     (s["kind"], s["text"], s["media_ref"], s["offset"])
                     for s in (r.spans if r.spans is not None else [])
                 ]
-                cands: list[tuple[str, str, str, int]] = []
                 if has_binary_content(ctype):
                     if not include_binary:
                         continue  # NotAllowedContent: no outlinks, no visit
@@ -82,19 +89,47 @@ def extract_candidates(
                     if data is not None:
                         # X8: new String(contentData, charset from the
                         # Content-Type header) — Parser.java:79-82,
-                        # Page.java:129-135
-                        text = decode_content(
-                            bytes(data), charset_from_content_type(ctype))
+                        # Page.java:129-135. The engine pre-routes bad
+                        # charsets to the error channel; guard anyway so
+                        # direct library use on unfiltered pages degrades
+                        # to "no outlinks" like fetchContent's
+                        # catch(Exception), not an executor crash.
+                        try:
+                            charset = charset_from_content_type(ctype)
+                        except UnsupportedCharsetError:
+                            continue
+                        text = decode_content(bytes(data), charset)
                     else:
                         text = body_text(spans)
                     for i, raw in enumerate(extract_urls(text)):
-                        cands.append((raw, "", "", i))
+                        rows.append((raw, "", "", i, r.docid, r.url,
+                                     r.seed_docid, r.depth, r.process_seq))
                 else:
-                    for c in outlink_candidates(r.url, spans, max_outlinks):
-                        cands.append((c.url, c.tag, c.anchor, c.order))
-                for url, tag, anchor, order in cands:
-                    rows.append((url, tag, anchor, order, r.docid, r.url,
-                                 r.seed_docid, r.depth, r.process_seq))
+                    links = link_hrefs(spans)
+                    start = len(flat_hrefs)
+                    flat_hrefs.extend(h for _k, h, _a in links)
+                    flat_ctx.extend(r.url for _ in links)
+                    html_pages.append(
+                        (r, [k for k, _h, _a in links],
+                         [a for _k, _h, a in links], start, len(flat_hrefs)))
+            # Batch canonicalize across ALL pages of the Arrow batch: the
+            # _CANONICAL_FAST prescreen runs in C; only misses hit the
+            # per-element kernel (was: one Python call per href —
+            # Parser.java:146-150, the round-3 hot-path loop).
+            if flat_hrefs:
+                canon = canonicalize_batch(
+                    pd.Series(flat_hrefs, dtype=object),
+                    pd.Series(flat_ctx, dtype=object),
+                ).to_numpy()
+            else:
+                canon = []
+            # Pass 2: the reference's cap/dedup counting loop per page over
+            # the precomputed canonical URLs (candidates_from_canonical).
+            for r, kinds, anchors, start, stop in html_pages:
+                for c in candidates_from_canonical(
+                        zip(kinds, canon[start:stop], anchors), max_outlinks):
+                    rows.append((c.url, c.tag, c.anchor, c.order, r.docid,
+                                 r.url, r.seed_docid, r.depth, r.process_seq))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in CANDIDATE_SCHEMA.fields]
             )

@@ -144,6 +144,27 @@ def update_blooms(
     )
 
 
+def bitmap_bytes_uncompressed(paths: list[str]) -> int:
+    """Uncompressed byte size of the ``bits`` column across sidecar parquet
+    files, read from footer metadata only (no data pages touched). The
+    broadcast gate must budget the IN-MEMORY bitmap footprint the driver
+    will hold — compressed file size (os.path.getsize) underestimates it
+    badly for sparse, snappy-friendly bitmaps, and would disagree with the
+    fallback path's octet_length(bits) gate near the threshold."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema == "bits":
+                    total += col.total_uncompressed_size
+    return total
+
+
 def load_bitmaps(paths: list[str]) -> dict[int, tuple[int, np.ndarray]]:
     """Driver-side pyarrow read of bloom sidecar parquet files →
     {bucket: (nbits, bitmap)}. The broadcast probe needs the bitmaps on

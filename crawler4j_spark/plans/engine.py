@@ -57,6 +57,7 @@ from ..operators.mint import mint_docids
 from ..operators.parse import extract_candidates
 from ..operators.politeness import assign_slots, new_host_carry
 from ..operators.seen_filter import (
+    bitmap_bytes_uncompressed,
     load_bitmaps,
     split_new_vs_maybe_seen,
     update_blooms,
@@ -192,11 +193,14 @@ class CrawlEngine:
         if robots_df is not None and "robots_rules" not in self.store.manifest()["tables"]:
             # raw bodies persisted too: the TTL refresh (HostDirectives.java:
             # 25-41) refetches from this table — the simulated transport.
-            rules = self._parse_rules(robots_df, fetched_at=0)
+            # One body row per host enforced (see set_robots_bodies);
+            # rules parse from the deduped bodies so both stay aligned.
+            bodies = (robots_df.select("host", "body")
+                      .groupBy("host").agg(F.max("body").alias("body")))
+            rules = self._parse_rules(bodies, fetched_at=0)
             self.store.commit(replaces={
                 "robots_rules": self.store.stage_dataframe(rules),
-                "robots_bodies": self.store.stage_dataframe(
-                    robots_df.select("host", "body")),
+                "robots_bodies": self.store.stage_dataframe(bodies),
             })
 
         # scalar checkpoint state
@@ -294,15 +298,17 @@ class CrawlEngine:
     def _probe_blooms(self, candidates: DataFrame) -> DataFrame:
         """maybe_seen column via the bloom sidecar. While the sidecar fits
         the broadcast threshold, the bitmaps are read straight off the
-        local sidecar parquet with pyarrow (file sizes via stat) — ZERO
-        Spark jobs on the hot loop, where the collect-based path spent two
+        local sidecar parquet with pyarrow (UNCOMPRESSED `bits` size via
+        footer metadata — same budget the fallback path's octet_length gate
+        uses, and the true driver-memory footprint) — ZERO Spark jobs on
+        the hot loop, where the collect-based path spent two
         (size agg + collect) per round. Past the threshold the cogrouped
         applyInPandas strategy takes over unchanged."""
         entries = self.store.table_files("seen_bloom")
         if not entries:
             return split_new_vs_maybe_seen(candidates, None)
         paths = [os.path.join(self.store.root, e["path"]) for e in entries]
-        total = sum(os.path.getsize(p) for p in paths)
+        total = bitmap_bytes_uncompressed(paths)
         if total <= self._BLOOM_BROADCAST_BYTES:
             return split_new_vs_maybe_seen(
                 candidates, None, prebuilt_bitmaps=load_bitmaps(paths))
@@ -325,10 +331,17 @@ class CrawlEngine:
     def set_robots_bodies(self, robots_df: DataFrame) -> None:
         """Replace the simulated robots transport (the web changed). Cached
         rules keep serving until their TTL expires — exactly the reference's
-        HostDirectives behavior."""
+        HostDirectives behavior.
+
+        The refresh join and its n_expired/n_refreshed counts assume ONE
+        body row per host (a host serves one robots.txt); enforce it here
+        deterministically (lexicographic max body wins on duplicates) so a
+        sloppy caller can't inflate the counts or duplicate refreshed rules
+        rows downstream."""
         self.store.commit(replaces={
             "robots_bodies": self.store.stage_dataframe(
-                robots_df.select("host", "body"))})
+                robots_df.select("host", "body")
+                .groupBy("host").agg(F.max("body").alias("body")))})
 
     def refresh_robots(self) -> int:
         """J4 TTL refresh (HostDirectives.java:25-41): re-fetch + re-parse

@@ -1,9 +1,10 @@
 """Property-based tests (hypothesis) for the URL and robots kernels —
 robustness beyond the ported fixed vectors."""
 
+import re
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from crawler4j_spark.functions.robots import RuleSet
@@ -27,7 +28,15 @@ def test_canonicalize_idempotent(host, rest):
         assert canonicalize(c) == c
 
 
+# A '%' not followed by two hex digits is an invalid escape: the reference's
+# percentEncodeRfc3986 catches the decode exception and returns the query
+# param UNCHANGED (URLCanonicalizer.java:197-206), so raw spaces legally
+# survive in such params. The space invariant below must admit that branch.
+_BAD_ESCAPE = re.compile(r"%(?![0-9a-fA-F]{2})")
+
+
 @settings(max_examples=300, deadline=None)
+@example(host="0.AA", rest="? %")   # pinned: bad-escape passthrough keeps ' '
 @given(host=_hosts, rest=_pathchars)
 def test_canonicalize_never_crashes_and_shape(host, rest):
     url = f"http://{host}/{rest}"
@@ -35,7 +44,10 @@ def test_canonicalize_never_crashes_and_shape(host, rest):
     if c is not None:
         assert c.startswith(("http://", "https://", "ftp://"))
         assert "#" not in c          # fragments always dropped
-        assert " " not in c          # spaces never survive
+        if not _BAD_ESCAPE.search(url):
+            # spaces never survive — except via the reference's bad-percent-
+            # escape passthrough (see _BAD_ESCAPE note above)
+            assert " " not in c
         # host is lowercased
         auth = c.split("://", 1)[1].split("/", 1)[0]
         assert auth == auth.lower()

@@ -311,3 +311,40 @@ sys.exit(3)
     vb = [(r["url"], r["docid"]) for r in
           eng2.visited_log().select("url", "docid").collect()]
     assert va == vb
+
+
+@pytest.mark.slow
+def test_seen_delta_docids_agree_with_frontier(spark, tmp_path):
+    """Round-3 ADVICE: the seen-table delta and the admission gates each
+    recompute mint's row_number window from Spark cache; their docid
+    agreement rests on (process_seq, within_order) being a total order with
+    a deterministic upstream. Assert the two consumptions actually agree —
+    every (url, docid) the gates admitted (frontier rows and the visited
+    log) must carry the SAME docid the seen table registered for that url —
+    so a future change that breaks the total-order invariant fails loudly
+    instead of silently skewing the seen table."""
+    from pyspark.sql import functions as F
+
+    gen = generate_corpus(CorpusSpec(n_pages=120, n_hosts=6, seed=123))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    eng = CrawlEngine(spark, str(tmp_path / "agree"), corpus_df, robots_df,
+                      _cfg())
+    eng.add_seeds(gen.seeds)
+
+    def assert_docids_agree(admitted, label):
+        seen = eng._read("seen").select(
+            "url", F.col("docid").alias("seen_docid"))
+        bad = (admitted.select("url", "docid")
+               .join(seen, "url", "left")
+               .filter(F.col("seen_docid").isNull()
+                       | (F.col("seen_docid") != F.col("docid"))))
+        assert bad.count() == 0, f"docid skew in {label}"
+
+    rounds = 0
+    while rounds < 6 and eng.run_round():
+        rounds += 1
+        frontier = eng._read("frontier")
+        if frontier is not None:
+            assert_docids_agree(frontier, f"frontier after round {rounds}")
+    assert rounds >= 2  # the corpus must actually exercise multiple rounds
+    assert_docids_agree(eng.visited_log(), "visited log")
