@@ -145,7 +145,7 @@ def bad_charset_mask(content_types) -> "object":
             verdict[name] = False
         except LookupError:
             verdict[name] = True
-    mask[present] = names[present].map(verdict)
+    mask[present] = names[present].map(verdict).astype(bool)
     return mask
 
 

@@ -1095,20 +1095,23 @@ def q_multimodal_decode(spark, sf_dir):
         StructField("channels", IntegerType()),
     ])
 
-    def fake_decode(payload: bytes) -> tuple[int, int, int]:
-        # deterministic stand-in for PIL/libav decode
-        n = len(payload)
-        return n % 640 + 1, (n * 7) % 480 + 1, 3
+    def fake_decode_batch(payloads: "pd.Series") -> "pd.DataFrame":
+        # Deterministic stand-in for a BATCH decoder (PIL/libav over the
+        # whole Arrow batch): vectorized length arithmetic, no per-row
+        # Python loop — the shape a real vectorized decoder drops into.
+        n = payloads.str.len().astype("int64")
+        return pd.DataFrame({
+            "n_bytes": n,
+            "width": (n % 640 + 1).astype("int32"),
+            "height": ((n * 7) % 480 + 1).astype("int32"),
+            "channels": pd.Series(3, index=n.index, dtype="int32"),
+        })
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload)
-                w, h, c = fake_decode(payload)
-                rows.append((r.doc_id, len(payload), w, h, c))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "width", "height", "channels"])
+            meta = fake_decode_batch(pdf["payload"])
+            meta.insert(0, "doc_id", pdf["doc_id"])
+            yield meta
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))

@@ -60,3 +60,59 @@ def test_concurrent_bench_pair_survives_sigkill():
     for d in leaked:
         shutil.rmtree(os.path.join("/dev/shm", d), ignore_errors=True)
     assert len(leaked) <= 2  # victim's scratch (+ survivor's if mid-sweep)
+
+
+def test_scaling_campaign_resumes_and_survives_leg_failure(tmp_path):
+    """Round-3 lesson: one crashed leg used to zero out the whole 2-hour
+    campaign artifact. The campaign must (a) assemble its report from the
+    legs that completed when one leg fails permanently in one rep,
+    (b) persist every completed leg JSON as it finishes, and (c) resume
+    from those JSONs without re-running them."""
+    import bench
+
+    calls = []
+    fail_once = {"armed": True}
+
+    def fake_leg(cli_args):
+        calls.append(tuple(cli_args))
+        # derive (kind, p) from the CLI shape the real runner uses
+        if "--parallelism" in cli_args:
+            p = int(cli_args[cli_args.index("--parallelism") + 1])
+            kind = "e2e"
+        else:
+            p = int(cli_args[cli_args.index("--dedup-parallelism") + 1])
+            kind = cli_args[cli_args.index("--dedup-stage") + 1] \
+                if "--dedup-stage" in cli_args else "pipe"
+        if kind == "canon" and p == 2 and fail_once["armed"]:
+            fail_once["armed"] = False   # rep-0 canon2 dies; rep-1 covers it
+            raise RuntimeError("injected leg crash")
+        wall = 100.0 / p
+        leg = {"parallelism": p, "wall_sec": wall,
+               "urls_per_sec": round(1000 * p * 0.9, 1)}
+        if kind == "e2e":
+            leg.update(rounds=3, claimed=10, deduped_candidates=20,
+                       scheduled=9, jobs_per_round=50.0)
+        return leg
+
+    fake_ceiling = lambda: {"ceiling_2_to_8": 1.0, "ceiling_8_to_32": 0.9}
+
+    report = bench.run_scaling_campaign(
+        repeats=2, leg_runner=fake_leg, leg_dir=str(tmp_path / "legs"),
+        ceiling_fn=fake_ceiling)
+    assert report["failed_legs"] == ["canon2_rep0"]
+    assert report["pipeline_eff_2_to_8"] == 1.0
+    assert report["canon_eff_2_to_8"] == 1.0      # rep-1 leg filled the hole
+    n_first = len(calls)
+    # every completed leg persisted
+    legs_on_disk = [f for f in os.listdir(tmp_path / "legs")
+                    if f.endswith(".json") and not f.startswith("_")]
+    assert len(legs_on_disk) == n_first - 1       # all but the crashed one
+
+    # resume: nothing re-runs, same report
+    calls.clear()
+    report2 = bench.run_scaling_campaign(
+        repeats=2, leg_runner=fake_leg, leg_dir=str(tmp_path / "legs"),
+        ceiling_fn=fake_ceiling)
+    assert len(calls) == 1                        # only the failed leg re-ran
+    assert report2["failed_legs"] == []
+    assert report2["legs"] == report["legs"]
