@@ -348,3 +348,52 @@ def test_seen_delta_docids_agree_with_frontier(spark, tmp_path):
             assert_docids_agree(frontier, f"frontier after round {rounds}")
     assert rounds >= 2  # the corpus must actually exercise multiple rounds
     assert_docids_agree(eng.visited_log(), "visited log")
+
+
+@pytest.mark.slow
+def test_resume_real_round2_store_artifact(spark, tmp_path):
+    """Upgrade path from a REAL pre-round_state store (tests/fixtures/
+    r2_store, written by the actual round-2 code at commit 5ad2c6c after 3
+    rounds on the seed-77 corpus): the current engine must read the legacy
+    host_state/seed_counts tables through the round_state views, resume,
+    and finish byte-identical to an uninterrupted run of the CURRENT code
+    on the same corpus. The synthetic migration unit test covers the view
+    union; this covers the artifact a real round-2 user upgrades from."""
+    import shutil
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "r2_store")
+    store = str(tmp_path / "r2_store")
+    shutil.copytree(fixture, store)
+
+    eng = CrawlEngine(spark, store, config=_cfg())
+    assert eng.round == 3
+    # the legacy tables are really there (this is a round-2 artifact)
+    tables = eng.store.manifest()["tables"]
+    assert "host_state" in tables and "seed_counts" in tables
+    assert "round_state" not in tables
+    eng.crawl(max_rounds=200)
+    # after the first post-upgrade round the legacy tables are folded away
+    # (their manifest entries are emptied, content lives in round_state)
+    tables = eng.store.manifest()["tables"]
+    assert "round_state" in tables
+    assert tables["host_state"]["files"] == []
+    assert tables["seed_counts"]["files"] == []
+
+    # uninterrupted current-code reference run on the same corpus
+    gen = generate_corpus(CorpusSpec(n_pages=100, n_hosts=5, seed=77))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+    full = CrawlEngine(spark, str(tmp_path / "full"), corpus_df, robots_df,
+                       _cfg())
+    full.add_seeds(gen.seeds)
+    full.crawl(max_rounds=200)
+
+    assert eng.seen_map() == full.seen_map()
+    assert eng.last_docid == full.last_docid
+    assert eng.scheduled_pages == full.scheduled_pages
+    assert eng.processed_pages == full.processed_pages
+    va = [(r["url"], r["docid"], r["depth"])
+          for r in full.visited_log().select("url", "docid", "depth").collect()]
+    vb = [(r["url"], r["docid"], r["depth"])
+          for r in eng.visited_log().select("url", "docid", "depth").collect()]
+    assert va == vb
+    assert eng.frontier_pending() == 0
