@@ -988,6 +988,209 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+# --- training-data pipeline: filtering / sampling / packing ----------------
+# Corpus-preparation operators a 100 TB pre-training pipeline needs beyond
+# the crawl itself. All pure-JVM column arithmetic (no Python UDFs): each is
+# one or two hash-partitioned aggregations that scale linearly with input.
+
+
+@register("quality_repetition", _TOKENS_CTE.format(where="") + """
+, per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tokens GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_frac,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_tok_frac,
+       (1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) > 0.8
+        OR CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.2) AS repetitive
+FROM per_tok GROUP BY doc_id
+""")
+def q_quality_repetition(spark, sf_dir):
+    """Repetition-based quality filter (the Gopher-rules analog): flag
+    documents dominated by repeated tokens via duplicate-token fraction and
+    top-token mass. Two chained hash aggregations — the (doc_id, tok) combine
+    is map-side partial, so the shuffle carries one row per distinct token
+    per doc, not one per token."""
+    per_tok = (_tokens(spark, sf_dir)
+               .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
+    n = F.sum("c")
+    d = F.count("*")
+    dup = F.lit(1.0) - d.cast("double") / n
+    top = F.max("c").cast("double") / n
+    return per_tok.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        d.cast("long").alias("n_distinct"),
+        F.round(dup, 6).alias("dup_frac"),
+        F.round(top, 6).alias("top_tok_frac"),
+        ((dup > 0.8) | (top > 0.2)).alias("repetitive"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{1,6}"
+
+
+@register("pii_scrub", r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com or +1-555-'
+                      || CAST(doc_id % 10000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' also admin@corp.example.org'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(LEN(regexp_extract_all(text,
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{1,6}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'))
+           AS scrubbed_md5
+FROM aug
+""")
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: count and mask email/phone spans with JVM-side regexes
+    (patterns restricted to the RE2-compatible subset so the DuckDB oracle
+    matches byte-for-byte). The synthetic corpus carries no PII, so both
+    sides deterministically inject spans into every 3rd/5th document first —
+    the oracle then verifies the scrub output exactly (md5 of the redacted
+    text), not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.com or +1-555-"),
+                     (F.col("doc_id") % 10000).cast("string")),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, " also admin@corp.example.org")
+        .otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register("domain_sample", """
+SELECT doc_id, source,
+       CAST(20 + (CAST(SUBSTR(source, 4, 8) AS BIGINT) * 7) % 70 AS BIGINT)
+           AS rate_pct
+FROM documents
+WHERE (doc_id * 2654435761) % 100 <
+      20 + (CAST(SUBSTR(source, 4, 8) AS BIGINT) * 7) % 70
+""")
+def q_domain_sample(spark, sf_dir):
+    """Stratified deterministic sampling for corpus mixing: each source gets
+    a target rate, each doc a reproducible uniform draw from a Knuth
+    multiplicative hash of its id — a pure filter (no shuffle, no RNG state),
+    so the identical sample falls out on any cluster size or retry."""
+    src_num = F.substring("source", 4, 8).cast("long")
+    rate = (F.lit(20) + (src_num * 7) % 70).cast("long")
+    draw = (F.col("doc_id") * F.lit(2654435761)) % 100
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", rate.alias("rate_pct"),
+                draw.alias("_draw"))
+        .filter(F.col("_draw") < F.col("rate_pct"))
+        .drop("_draw")
+    )
+
+
+@register("boilerplate_shingles",
+          _TOKENS_CTE.format(where="") + _SHINGLES_CTE + """
+SELECT d.source, s.shingle,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs
+FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.source, s.shingle
+HAVING COUNT(DISTINCT s.doc_id) >= 3
+ORDER BY n_docs DESC, d.source, s.shingle
+LIMIT 100
+""")
+def q_boilerplate_shingles(spark, sf_dir):
+    """Boilerplate detection: shingles recurring across many documents of
+    the same source (site headers/footers/nav chrome). Shuffle key is
+    (source, shingle) — at 100 TB the distinct-doc count is a partial
+    aggregate, and only shingles crossing the threshold survive to the
+    top-k (TakeOrderedAndProject, deterministic tie-break)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        _shingles(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source", "shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "source", "shingle")
+        .limit(100)
+    )
+
+
+@register("token_budget_pack", """
+WITH counted AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 512.0)
+            AS BIGINT) AS pack_bin
+FROM counted
+""")
+def q_token_budget_pack(spark, sf_dir):
+    """Greedy sequence packing for training batches: each document lands in
+    the 512-token bin where its running token offset starts. The running sum
+    is a distributed scan — order-consistent range buckets on doc_id, a
+    per-bucket window, and a tiny bucket-total prefix-sum joined back
+    broadcast (the mint pattern, mint.py) — NOT a single-partition global
+    window, so it survives any corpus size."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long").alias("n_tokens"),
+    )
+    df = docs.withColumn("_b", F.floor(F.col("doc_id") / 64).cast("long"))
+    df = df.persist()
+    totals = df.groupBy("_b").agg(
+        F.sum("n_tokens").alias("t")).orderBy("_b").collect()
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_b"]] = acc
+        acc += r["t"]
+    off = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()] or [(0, 0)],
+        "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    return (
+        df.join(F.broadcast(off), "_b", "left")
+        .withColumn(
+            "_cum",
+            F.sum("n_tokens").over(w) + F.coalesce("_off", F.lit(0))
+            - F.col("n_tokens"))
+        .withColumn("pack_bin",
+                    F.floor(F.col("_cum") / F.lit(512.0)).cast("long"))
+        .select("doc_id", "n_tokens", "pack_bin")
+    )
+
+
 # --- events (streaming analogs) --------------------------------------------
 
 
