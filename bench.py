@@ -308,15 +308,32 @@ SCALING_KINDS = {
 
 
 def _campaign_fingerprint() -> str:
-    """Git HEAD of the tree the legs measure — a leg JSON from different
-    code must not be resumed into this campaign's report."""
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__))).stdout.strip()
-    except Exception:
-        return "unknown"
+    """Content hash of the files the legs actually execute — a leg JSON
+    from different *measured* code must not be resumed into this campaign's
+    report. Hashing file contents instead of git HEAD means commits that
+    cannot change a leg's work (docs, analytics queries, tests) do not
+    throw away hours of completed legs; any edit to the bench harness or
+    the engine under test still invalidates them."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    measured = [os.path.join(root, "bench.py")]
+    pkg = os.path.join(root, "crawler4j_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            # analytics.py is the headline/oracle query registry — no
+            # campaign leg executes it
+            if fn.endswith(".py") and fn != "analytics.py":
+                measured.append(os.path.join(dirpath, fn))
+    h = hashlib.sha256()
+    for path in sorted(measured):
+        try:
+            with open(path, "rb") as f:
+                h.update(path.replace(root, "").encode())
+                h.update(f.read())
+        except OSError:
+            h.update(b"missing:" + path.encode())
+    return h.hexdigest()[:40]
 
 
 def run_scaling_campaign(repeats: int, leg_runner=None,
