@@ -1,0 +1,59 @@
+"""Physical-plan scale-guard: every registered query's plan must stay free
+of the shapes that kill a 100 TB run — cartesian products, nested-loop
+joins with a non-tiny build side, and single-partition exchanges — except
+where a bounded input makes the shape deliberate (allowlisted below with
+the justification).
+
+Planning-only (no job runs): a regression here fails in seconds, before a
+bench ever sees the slow plan.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin is the *intended* shape where the build side is a
+# single broadcast row (the query vector) or a k-row centroid/plane table:
+# every input row pairs with the tiny broadcast side, no shuffle, and the
+# "nested loop" degenerates to one pass. Anything else showing up here is a
+# regression.
+NESTED_LOOP_OK = {
+    "embedding_topk",       # 1-row query vector broadcast
+    "embedding_neardup",    # bounded-range candidate pairing (post-LSH check)
+    "ann_lsh_buckets",      # 8-row hyperplane table broadcast
+    "ann_ivf_assign",       # k-row centroid table broadcast
+    "ann_ivf_probe",        # k-row centroid + 1-row probe vector
+}
+
+# Single-partition exchanges allowed only where the partition is bounded by
+# construction, never frontier/corpus-scale.
+SINGLE_PARTITION_OK = {
+    # arrival-order docid over ONE seed registration batch (bounded by the
+    # caller's seed list; the engine's unbounded path is the distributed
+    # mint, operators/mint.py, which this demo deliberately mirrors in its
+    # reference-sequential form)
+    "seed_pipeline",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_plan_has_no_scale_killers(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in NESTED_LOOP_OK, (
+            f"{name}: BroadcastNestedLoopJoin outside the tiny-broadcast "
+            f"allowlist")
+
+    n_single = len(re.findall(r"Exchange SinglePartition", plan))
+    if n_single:
+        assert name in SINGLE_PARTITION_OK, (
+            f"{name}: {n_single} single-partition exchange(s) in an "
+            f"unbounded query")
