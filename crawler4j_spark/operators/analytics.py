@@ -1971,3 +1971,239 @@ def q_ann_ivf_probe(spark, sf_dir):
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )
+
+
+# --- Dedup cluster resolution (connected components) ------------------------
+# LSH gives *pairwise* dup signals; a real dedup pipeline must resolve them
+# into clusters (A~B, B~C => {A,B,C} keep one). That resolution is connected
+# components over the candidate graph — the step between "bucket join" and
+# "keep canonical doc" in every at-scale dedup system (e.g. the CCNet /
+# RefinedWeb pipelines). Edges here are the minhash band buckets' star edges
+# (member -> bucket-min hub), so |E| is bounded by the bucket memberships —
+# never all-pairs.
+
+#: Hard cap on min-label propagation rounds. Convergence needs at most
+#: graph-diameter rounds; dup-cluster graphs are hub-stars chained by shared
+#: docs, so the diameter stays far below this in practice. Hitting the cap
+#: raises instead of returning wrong labels. At 10^10 docs swap the loop
+#: body for pointer-doubling (label <- label(label)) to make it O(log d).
+CC_MAX_ROUNDS = 64
+
+
+@register("dedup_cc_label",
+          _TOKENS_CTE.format(where="").replace(
+              "WITH idx", "WITH RECURSIVE idx", 1) + _SHINGLES_CTE + """
+, salts AS (SELECT UNNEST(RANGE(0, 8)) AS salt),
+mh AS (
+  SELECT doc_id, salt,
+         MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM shingles CROSS JOIN salts
+  GROUP BY doc_id, salt
+),
+bands AS (
+  SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+         STRING_AGG(minhash, '' ORDER BY salt) AS bucket_sig
+  FROM mh GROUP BY doc_id, CAST(salt // 2 AS INT)
+),
+hubs AS (
+  SELECT band, bucket_sig, MIN(doc_id) AS hub, COUNT(*) AS n
+  FROM bands GROUP BY band, bucket_sig
+),
+edges AS (
+  SELECT DISTINCT b.doc_id AS a, h.hub AS hb
+  FROM bands b JOIN hubs h
+    ON b.band = h.band AND b.bucket_sig = h.bucket_sig
+  WHERE h.n >= 2 AND b.doc_id <> h.hub
+),
+sym AS (SELECT a, hb AS b FROM edges UNION SELECT hb AS a, a AS b FROM edges),
+reach(v, lab) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.v
+),
+lab AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+""")
+def q_dedup_cc_label(spark, sf_dir):
+    """Connected components over the minhash-LSH candidate graph: every doc
+    that shares a band bucket with another doc gets the component-minimum
+    doc_id as its cluster label (the canonical survivor), plus the cluster
+    size. Iterative min-label propagation to fixpoint — each round is ONE
+    keyed join + groupBy (no cartesian anything); `localCheckpoint` truncates
+    the lineage so round k's plan doesn't replay rounds 0..k-1. The
+    convergence check is a driver-side count per round — a deliberate,
+    bounded sync point exactly like the mint offsets collect (mint.py:54).
+    The oracle is the same graph closed with a recursive CTE."""
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))))
+        .alias(f"m{s}")
+        for s in range(8)
+    ])
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            for b in range(4)
+        ])).alias("band", "bucket_sig"),
+    )
+    hubs = bands.groupBy("band", "bucket_sig").agg(
+        F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+    # Star edges member->hub; materialized once (bounded: one row per
+    # bucket membership) so the union below doesn't recompute the minhash
+    # aggregation per branch.
+    edges = (
+        bands.join(hubs, ["band", "bucket_sig"])
+        .filter((F.col("n") >= 2) & (F.col("doc_id") != F.col("hub")))
+        .select("doc_id", "hub").distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        edges.select(F.col("doc_id").alias("a"), F.col("hub").alias("b"))
+        .union(edges.select(F.col("hub").alias("a"),
+                            F.col("doc_id").alias("b")))
+    )
+    labels = (
+        sym.select(F.col("a").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a").agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
+                ).alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select(
+                "doc_id", F.col("cluster_id").alias("old")), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cc_label: no fixpoint within {CC_MAX_ROUNDS} rounds")
+    w_cl = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id",
+        F.count("*").over(w_cl).alias("cluster_size"))
+
+
+# --- Benchmark contamination ------------------------------------------------
+
+
+@register("contamination_ngram",
+          _TOKENS_CTE.format(where="") + _SHINGLES_CTE + """
+, bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+corp AS (
+  SELECT DISTINCT doc_id, shingle FROM shingles WHERE doc_id % 20 <> 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS contamination
+FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""")
+def q_contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each corpus document's
+    distinct 3-gram shingles that collide with the eval-benchmark shingle
+    set (docs with doc_id % 20 == 0 stand in for the benchmark; the rest are
+    the corpus). The scale shape is the whole point: benchmark suites are
+    MBs while the corpus is TBs, so the benchmark shingle set is the
+    BROADCAST side of a left join streaming over the corpus shingles — the
+    100 TB table is scanned once and never shuffled by shingle; the only
+    shuffle is the per-doc rollup, keyed by doc_id."""
+    sh = _shingles(spark, sf_dir)
+    bench = (sh.filter(F.col("doc_id") % 20 == 0)
+             .select("shingle").distinct()
+             .withColumn("hit", F.lit(1)))
+    corp = (sh.filter(F.col("doc_id") % 20 != 0)
+            .select("doc_id", "shingle").distinct())
+    hits = corp.join(F.broadcast(bench), "shingle", "left")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+             .cast("long").alias("n_hits"))
+        .select(
+            "doc_id", "n_shingles", "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_shingles"), 6)
+            .alias("contamination"))
+    )
+
+
+# --- IVF training step (Lloyd iteration) ------------------------------------
+
+
+@register("ann_kmeans_step", """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+assign AS (
+  SELECT vec_id, cent_id, emb FROM (
+    SELECT e.vec_id, c.cent_id, e.embedding AS emb,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY """ + _IVF_COS.format(a="e.embedding", b="c.cv")
+             + """ DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+idx AS (SELECT UNNEST(RANGE(0, 64)) AS pos)
+SELECT a.cent_id, CAST(pos AS INT) AS pos,
+       ROUND(AVG(a.emb[pos + 1]::DOUBLE), 6) AS c
+FROM assign a CROSS JOIN idx
+GROUP BY a.cent_id, CAST(pos AS INT)
+""")
+def q_ann_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration's centroid update — the training half of the IVF
+    index (``ann_ivf_assign`` is the assignment half; alternate the two to
+    train): per (cell, dimension), the mean of the assigned vectors'
+    coordinates. posexplode widens each vector to 64 (pos, val) rows BEFORE
+    the groupBy so the shuffle key is (cent_id, pos) with full map-side
+    combine — partial sums collapse to k*64 rows per task, so shuffle bytes
+    are O(k * dim * n_tasks), independent of the vector count. Coordinates
+    are averaged in double and rounded to 6 dp on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 37 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cv")))
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cent_id", "embedding",
+            F.round(
+                _dot(F.col("embedding"), F.col("cv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 6)
+            .alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("cent_id", F.col("embedding").alias("emb")))
+    return (
+        assign.select("cent_id", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+    )

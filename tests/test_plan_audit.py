@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "ann_lsh_buckets",      # 8-row hyperplane table broadcast
     "ann_ivf_assign",       # k-row centroid table broadcast
     "ann_ivf_probe",        # k-row centroid + 1-row probe vector
+    "ann_kmeans_step",      # k-row centroid table broadcast (assignment half)
 }
 
 # Single-partition exchanges allowed only where the partition is bounded by
