@@ -2207,3 +2207,85 @@ def q_ann_kmeans_step(spark, sf_dir):
         .groupBy("cent_id", "pos")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
     )
+
+
+# --- Interleaved-span payload contract --------------------------------------
+
+
+@register("spans_interleave_stats", _TOKENS_CTE.format(where="") + """
+, sp AS (
+  SELECT doc_id, CAST(pos AS INT) AS "offset",
+         CASE WHEN pos % 7 = 3 THEN 'media' ELSE 'text' END AS kind
+  FROM tokens
+)
+SELECT doc_id,
+  CAST(COUNT(CASE WHEN kind = 'text' THEN 1 END) AS BIGINT) AS n_text,
+  CAST(COUNT(CASE WHEN kind = 'media' THEN 1 END) AS BIGINT) AS n_media,
+  COALESCE(MIN(CASE WHEN kind = 'media' THEN "offset" END), -1)
+      AS first_media_offset,
+  CAST(COUNT(CASE WHEN next_kind IS NOT NULL AND kind <> next_kind THEN 1
+             END) AS BIGINT) AS kind_changes,
+  md5(STRING_AGG(kind || ':' || "offset", ';' ORDER BY "offset")) AS seq_hash
+FROM (
+  SELECT sp.*,
+         LEAD(kind) OVER (PARTITION BY doc_id ORDER BY "offset") AS next_kind
+  FROM sp
+)
+GROUP BY doc_id
+""")
+def q_spans_interleave_stats(spark, sf_dir):
+    """The input-contract payload, end to end: build each document as ONE
+    row holding the interleaved span array
+    ``array<struct<kind,text,media_ref,offset>>`` (every 7th token becomes a
+    media span with a media_ref, the rest text spans — deterministically
+    interleaved), then compute order-sensitive stats WITHOUT exploding it:
+    text/media counts, first media offset, number of kind alternations, and
+    an order fingerprint (md5 of the kind:offset sequence). All of it is
+    JVM higher-order functions over the array column — ``filter`` /
+    ``zip_with`` / ``transform`` / ``aggregate`` — zero Python, zero extra
+    shuffle beyond the one groupBy that assembles the array; the
+    ``sort_array`` on an offset-first struct is what makes the assembled
+    order deterministic (collect_list alone is NOT order-stable). The
+    fingerprint equals the oracle's ORDER BY offset STRING_AGG, i.e. the
+    span-sequence-equality invariant the engine's parity suite asserts on
+    real crawled documents (tests/test_engine_parity.py)."""
+    toks = _tokens(spark, sf_dir)
+    is_media = (F.col("pos") % 7) == 3
+    rows = toks.select(
+        "doc_id",
+        F.struct(
+            F.col("pos").cast("int").alias("offset"),
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(~is_media, F.col("tok")).alias("text"),
+            F.when(is_media, F.concat(
+                F.lit("img://"), F.col("doc_id").cast("string"),
+                F.lit("/"), F.col("pos").cast("string"))).alias("media_ref"),
+        ).alias("s"))
+    docs = (
+        rows.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("spans0"))
+        # contract field order (kind, text, media_ref, offset)
+        .withColumn("spans", F.expr(
+            "transform(spans0, s -> struct("
+            "s.kind as kind, s.text as text, "
+            "s.media_ref as media_ref, s.offset as offset))"))
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("cast(size(filter(spans, s -> s.kind = 'text')) as bigint)")
+        .alias("n_text"),
+        F.expr("cast(size(filter(spans, s -> s.kind = 'media')) as bigint)")
+        .alias("n_media"),
+        F.expr("coalesce(array_min(transform("
+               "filter(spans, s -> s.kind = 'media'), s -> s.offset)), -1)")
+        .alias("first_media_offset"),
+        F.expr("cast(size(filter(zip_with("
+               "spans, slice(spans, 2, greatest(size(spans) - 1, 0)), "
+               "(a, b) -> b is not null and a.kind != b.kind), "
+               "x -> x)) as bigint)")
+        .alias("kind_changes"),
+        F.expr("md5(concat_ws(';', transform(spans, "
+               "s -> concat(s.kind, ':', cast(s.offset as string)))))")
+        .alias("seq_hash"),
+    )
