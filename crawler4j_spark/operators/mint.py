@@ -115,3 +115,51 @@ def ordered_rank(
                     .cast("long"))
         .drop("_ob", "_lr", "_off")
     )
+
+
+def running_max_before(
+    df: DataFrame,
+    ord_col: str,
+    value_col: str,
+    out_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Distributed exclusive running max over a total order: adds
+    ``out_col`` = max(``value_col``) over all rows with strictly smaller
+    ``ord_col`` (null for the first row). Same two-stage shape as
+    :func:`mint_docids` — deterministic range buckets on ``ord_col``, a
+    per-bucket running-max window, and a P-row bucket-maxima aggregate
+    whose prefix maxima join back broadcast — so there is no global sort
+    and no single-partition window at any input size. ``ord_col`` must be
+    unique (a total order); heavy clustering of ``ord_col`` values skews
+    the range buckets (acceptable for arrival/docid orders, which are
+    near-uniform over their span)."""
+    bounds = df.agg(F.min(ord_col).alias("lo"),
+                    F.max(ord_col).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    span = max(int(hi) - int(lo) + 1, 1)
+    df = df.withColumn(
+        "_pmb",
+        ((F.col(ord_col) - F.lit(int(lo))) * n_buckets / F.lit(span))
+        .cast("long"))
+    # persist below the window (see mint_docids)
+    df = df.persist()
+    rows = df.groupBy("_pmb").agg(F.max(value_col).alias("m")) \
+        .orderBy("_pmb").collect()
+    pref, run = [], None
+    for r in rows:
+        pref.append((r["_pmb"], run))
+        run = r["m"] if run is None else max(run, r["m"])
+    spark = df.sparkSession
+    off = spark.createDataFrame(pref, "_pmb long, _bpref long")
+    w = (Window.partitionBy("_pmb").orderBy(ord_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        df.join(F.broadcast(off), "_pmb", "left")
+        # greatest() skips nulls: first row of the first bucket gets null
+        .withColumn(out_col, F.greatest(
+            F.max(value_col).over(w), F.col("_bpref")))
+        .drop("_pmb", "_bpref")
+    )

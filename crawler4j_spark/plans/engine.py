@@ -439,6 +439,45 @@ class CrawlEngine:
             props=self._props())
         return len(rows)
 
+    def add_seen_urls_bulk(self, df: DataFrame, ord_col: str = "ord") -> int:
+        """S2 warm start at dump scale: same accept/reject semantics as
+        :meth:`add_seen_urls` (property-tested equivalent,
+        tests/test_warm_start.py) but fully distributed — canonicalization
+        via the Arrow batch kernel, seen-membership via anti-join, and the
+        sequential accept walk via the record-scan + freeing-event fixpoint
+        of :func:`operators.warm_start.resolve_warm_batch`. Driver memory
+        is O(P) bucket aggregates, never O(|batch|): this is the path a
+        10^8-pair warm start takes. ``df`` needs (``ord_col``, url, docid);
+        ``ord_col`` is the arrival order (docid order for dumps) and must
+        be unique."""
+        from ..functions.udfs import canonicalize_udf
+        from ..operators.warm_start import resolve_warm_batch
+
+        batch = (
+            df.select(
+                F.col(ord_col).cast("long").alias("ord"),
+                canonicalize_udf(F.col("url")).alias("url"),
+                F.col("docid").cast("long").alias("docid"))
+            .filter(F.col("url").isNotNull())
+        )
+        seen = self._read("seen") if self.store.table_files("seen") else None
+        accepted, hwm = resolve_warm_batch(batch, self.last_docid, seen)
+        n = accepted.count()
+        if n == 0:
+            return 0
+        seen_delta = with_bucket(
+            accepted.select("url", "docid"), "url", self.cfg.n_seen_buckets)
+        blooms = update_blooms(
+            seen_delta, self._read("seen_bloom"),
+            self.cfg.n_seen_buckets, self.cfg.expected_urls_per_bucket)
+        bloom_entries = self.store.stage_dataframe(blooms)
+        self.last_docid = hwm
+        self.store.commit(
+            adds={"seen": self.store.stage_dataframe(seen_delta)},
+            replaces={"seen_bloom": bloom_entries},
+            props=self._props())
+        return n
+
     def add_seeds(self, seeds: list[dict]) -> list[int]:
         """CrawlController.addSeed semantics, batched before round 0
         (S1/S2). ``seeds``: [{url, priority, doc_id_override}] in order.
