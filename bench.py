@@ -410,6 +410,55 @@ def run_scaling_campaign(repeats: int, leg_runner=None,
                 k = (kind, p)
                 if k not in best or r["wall_sec"] < best[k]["wall_sec"]:
                     best[k] = r
+    return _assemble_from_best(best, widths, repeats, failed, fingerprint,
+                               ceiling_fn, leg_dir)
+
+
+def assemble_scaling_report(widths: tuple = (2, 8, 32),
+                            leg_dir: str | None = None,
+                            ceiling_fn=None) -> dict:
+    """Report from whatever completed legs are on disk — ANY rep index,
+    nothing re-run. This is the recovery path when a campaign was cut
+    short, and the merge path for targeted extra legs (e.g. quiet-window
+    rep3+ files dropped in by hand): best-of is taken across every leg
+    file present for each (kind, width)."""
+    import re
+
+    leg_dir = leg_dir or LEG_DIR
+    ceiling_fn = ceiling_fn or _raw_cpu_ceiling
+    pat = re.compile(r"^([a-z0-9]+?)(\d+)_rep(\d+)\.json$")
+    best: dict = {}
+    n_legs, max_rep = 0, -1
+    for fn in sorted(os.listdir(leg_dir)):
+        m = pat.match(fn)
+        if not m:
+            continue
+        kind, p, rep = m.group(1), int(m.group(2)), int(m.group(3))
+        if kind not in SCALING_KINDS or p not in widths:
+            continue
+        try:
+            r = json.load(open(os.path.join(leg_dir, fn)))
+        except Exception:
+            continue
+        n_legs += 1
+        max_rep = max(max_rep, rep)
+        k = (kind, p)
+        if k not in best or r["wall_sec"] < best[k]["wall_sec"]:
+            best[k] = r
+    try:
+        fingerprint = json.load(
+            open(os.path.join(leg_dir, "_CAMPAIGN.json")))["head"]
+    except Exception:
+        fingerprint = "unknown"
+    print(f"[bench] assemble-only: {n_legs} legs, reps 0..{max_rep}",
+          file=sys.stderr)
+    return _assemble_from_best(best, widths, max_rep + 1, [], fingerprint,
+                               ceiling_fn, leg_dir)
+
+
+def _assemble_from_best(best: dict, widths: tuple, repeats: int,
+                        failed: list, fingerprint: str, ceiling_fn,
+                        leg_dir: str) -> dict:
     missing = [(kind, p) for kind in SCALING_KINDS for p in widths
                if (kind, p) not in best]
     if missing:
@@ -464,6 +513,9 @@ def run_scaling_campaign(repeats: int, leg_runner=None,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--assemble-only", action="store_true",
+                    help="with --scaling: write the report from the leg "
+                         "JSONs already on disk (any rep), running nothing")
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--spec", default="default", choices=list(SPECS))
     ap.add_argument("--repeats", type=int, default=2)
@@ -486,7 +538,10 @@ def main() -> None:
         return
 
     if args.scaling:
-        report = run_scaling_campaign(args.repeats)
+        if args.assemble_only:
+            report = assemble_scaling_report()
+        else:
+            report = run_scaling_campaign(args.repeats)
         _write_scaling_report(report)
         print(json.dumps(report))
         return

@@ -116,3 +116,40 @@ def test_scaling_campaign_resumes_and_survives_leg_failure(tmp_path):
     assert len(calls) == 1                        # only the failed leg re-ran
     assert report2["failed_legs"] == []
     assert report2["legs"] == report["legs"]
+
+
+def test_assemble_only_merges_any_rep_indices(tmp_path):
+    """assemble_scaling_report builds the report from whatever leg JSONs
+    exist — heterogeneous rep indices included (the merge path for
+    targeted quiet-window re-legs) — taking best-of per (kind, width)
+    and running nothing."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    def leg(kind, p, rep, wall, rate):
+        payload = {"parallelism": p, "wall_sec": wall, "urls_per_sec": rate}
+        if kind == "pipe":
+            payload["phase_sec"] = {"canon_probe_cache": wall * 0.8,
+                                    "join_mint": wall * 0.2}
+        if kind == "e2e":
+            payload.update(rounds=2, claimed=10, deduped_candidates=20,
+                           scheduled=9, jobs_per_round=5.0)
+        (tmp_path / f"{kind}{p}_rep{rep}.json").write_text(
+            json.dumps(payload))
+
+    rates = {2: 100.0, 8: 380.0, 32: 900.0}
+    for kind in ("e2e", "pipe", "canon", "probe"):
+        for p, rate in rates.items():
+            leg(kind, p, 0, 1000.0 / rate, rate)
+    # a later targeted re-leg in a quiet window must win best-of
+    leg("pipe", 8, 7, 1000.0 / 400.0, 400.0)
+    (tmp_path / "_CAMPAIGN.json").write_text(json.dumps({"head": "h"}))
+
+    fake_ceiling = lambda: {"ceiling_2_to_8": 1.0, "ceiling_8_to_32": 0.8}
+    report = bench.assemble_scaling_report(
+        leg_dir=str(tmp_path), ceiling_fn=fake_ceiling)
+    assert report["pipeline_legs"]["8"]["urls_per_sec"] == 400.0
+    assert report["pipeline_eff_2_to_8"] == 1.0   # (400/100)/4
+    assert report["canon_eff_2_to_8"] == 0.95     # (380/100)/4
+    assert report["campaign_head"] == "h"
+    assert report["failed_legs"] == []
