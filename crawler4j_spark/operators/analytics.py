@@ -2289,3 +2289,61 @@ def q_spans_interleave_stats(spark, sf_dir):
                "s -> concat(s.kind, ':', cast(s.offset as string)))))")
         .alias("seq_hash"),
     )
+
+
+# --- Distributed warm start under the oracle gate ---------------------------
+
+
+@register("warm_start_bulk", """
+WITH rows AS (
+  SELECT c_custkey AS "ord",
+         CASE WHEN c_custkey % 3 = 0
+              THEN 'd' || CAST(c_custkey % 50 AS VARCHAR)
+              ELSE 'u' || CAST(c_custkey AS VARCHAR) END AS url,
+         CASE WHEN c_custkey % 3 = 0
+              THEN 10000 + c_custkey
+              ELSE (c_custkey * 577) % 2000 END AS docid
+  FROM customer
+),
+firsts AS (
+  SELECT "ord", url, docid,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY "ord") AS rn
+  FROM rows
+),
+elig AS (SELECT "ord", url, docid FROM firsts WHERE rn = 1),
+scan AS (
+  SELECT "ord", url, docid,
+         MAX(docid) OVER (ORDER BY "ord"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM elig
+)
+SELECT "ord", url, CAST(docid AS BIGINT) AS docid
+FROM scan WHERE docid > 0 AND docid > COALESCE(pm, 0)
+""")
+def q_warm_start_bulk(spark, sf_dir):
+    """S2 at dump scale, driven through the REAL resolver
+    (operators/warm_start.resolve_warm_batch): a synthetic registration
+    batch with docid-rejections (scrambled-docid unique urls) and heavy
+    duplicate urls (monotone-docid rows) is resolved by the distributed
+    record-scan + fixpoint, and must equal the sequential addSeenUrl walk.
+    The input is engineered so no freeing event occurs (every
+    docid-rejected url has no later occurrence), which makes the walk
+    CLOSED-FORM — first occurrence per url, then an exclusive running max
+    — so DuckDB window SQL is the exact oracle; the general interleaved
+    case is covered by the hypothesis equivalence suite
+    (tests/test_warm_start.py). Ref: crawler/CrawlController.java:388-401."""
+    from .warm_start import resolve_warm_batch
+
+    cust = _t(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").cast("long").alias("ord"),
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lit("d"), (F.col("c_custkey") % 50).cast("string")))
+        .otherwise(F.concat(F.lit("u"), F.col("c_custkey").cast("string")))
+        .alias("url"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(10000) + F.col("c_custkey"))
+        .otherwise((F.col("c_custkey") * 577) % 2000)
+        .cast("long").alias("docid"),
+    )
+    accepted, _hwm = resolve_warm_batch(rows, hwm0=0, seen_df=None)
+    return accepted.select("ord", "url", "docid")
