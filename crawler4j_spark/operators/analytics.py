@@ -1982,14 +1982,6 @@ def q_ann_ivf_probe(spark, sf_dir):
 # (member -> bucket-min hub), so |E| is bounded by the bucket memberships —
 # never all-pairs.
 
-#: Hard cap on min-label propagation rounds. Convergence needs at most
-#: graph-diameter rounds; dup-cluster graphs are hub-stars chained by shared
-#: docs, so the diameter stays far below this in practice. Hitting the cap
-#: raises instead of returning wrong labels. At 10^10 docs swap the loop
-#: body for pointer-doubling (label <- label(label)) to make it O(log d).
-CC_MAX_ROUNDS = 64
-
-
 @register("dedup_cc_label",
           _TOKENS_CTE.format(where="").replace(
               "WITH idx", "WITH RECURSIVE idx", 1) + _SHINGLES_CTE + """
@@ -2030,12 +2022,10 @@ def q_dedup_cc_label(spark, sf_dir):
     """Connected components over the minhash-LSH candidate graph: every doc
     that shares a band bucket with another doc gets the component-minimum
     doc_id as its cluster label (the canonical survivor), plus the cluster
-    size. Iterative min-label propagation to fixpoint — each round is ONE
-    keyed join + groupBy (no cartesian anything); `localCheckpoint` truncates
-    the lineage so round k's plan doesn't replay rounds 0..k-1. The
-    convergence check is a driver-side count per round — a deliberate,
-    bounded sync point exactly like the mint offsets collect (mint.py:54).
-    The oracle is the same graph closed with a recursive CTE."""
+    size. The CC itself is the shared ``operators/graph.py`` resolver —
+    min-label propagation WITH pointer doubling (O(log diameter) rounds),
+    keyed joins only, localCheckpoint-truncated lineage. The oracle is the
+    same graph closed with a recursive CTE."""
     sh = _shingles(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))))
@@ -2060,44 +2050,12 @@ def q_dedup_cc_label(spark, sf_dir):
         .select("doc_id", "hub").distinct()
         .localCheckpoint()
     )
-    sym = (
-        edges.select(F.col("doc_id").alias("a"), F.col("hub").alias("b"))
-        .union(edges.select(F.col("hub").alias("a"),
-                            F.col("doc_id").alias("b")))
-    )
-    labels = (
-        sym.select(F.col("a").alias("doc_id")).distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
-    )
-    for _ in range(CC_MAX_ROUNDS):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["doc_id"])
-            .groupBy("a").agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
-            .select(
-                labels["doc_id"],
-                F.least(
-                    labels["cluster_id"],
-                    F.coalesce(F.col("nbr_min"), labels["cluster_id"]),
-                ).alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select(
-                "doc_id", F.col("cluster_id").alias("old")), "doc_id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_cc_label: no fixpoint within {CC_MAX_ROUNDS} rounds")
+    from .graph import connected_components
+
+    cc, _rounds = connected_components(
+        edges.select(F.col("doc_id").alias("a"), F.col("hub").alias("b")))
+    labels = cc.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("cluster_id"))
     w_cl = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id",

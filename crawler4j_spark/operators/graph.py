@@ -1,0 +1,93 @@
+"""Distributed connected components (the dedup-cluster resolver).
+
+Min-label propagation with pointer doubling: every round each node takes
+the minimum of (its label, its neighbors' labels, its label's label). The
+neighbor term floods the component minimum along edges; the
+``label(label)`` term is pointer doubling — label chains halve every
+round, so convergence is O(log diameter) rounds instead of O(diameter)
+(a 10^10-node bucket-hub graph with chained buckets converges in ~30
+rounds where plain propagation would need the chain length). Each round
+is two keyed joins + one groupBy — no cartesian anything — and labels are
+``localCheckpoint``ed so round k's plan never replays rounds 0..k-1. The
+driver-side convergence count per round is a deliberate bounded sync
+point, exactly like the mint offsets collect (mint.py:54).
+
+This is the step between "LSH bucket join" and "keep one canonical doc"
+in an at-scale dedup pipeline (A~B, B~C => {A,B,C} one cluster);
+`analytics.q_dedup_cc_label` drives it under the DuckDB recursive-CTE
+oracle, and tests/test_graph.py proves it against a union-find model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+#: With pointer doubling, rounds ~ log2(diameter) + a small constant; 64
+#: covers any graph that fits on hardware. Hitting it raises rather than
+#: returning partial labels.
+CC_MAX_ROUNDS = 64
+
+
+def connected_components(
+    edges: DataFrame,            # (a long, b long) undirected edge list
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> tuple[DataFrame, int]:
+    """Label every endpoint with the minimum node id of its component.
+    Returns ``(labels(node, component), rounds_used)``. Isolated nodes
+    (absent from ``edges``) are the caller's to handle — they are their
+    own singleton components by definition."""
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .union(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    )
+    labels = (
+        sym.select(F.col("s").alias("node")).distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s").agg(F.min("component").alias("nbr_min"))
+        )
+        # pointer doubling: component(component(v)) — one self-join
+        hop = (
+            labels.alias("x")
+            .join(labels.select(
+                F.col("node").alias("h_node"),
+                F.col("component").alias("h_comp")),
+                F.col("x.component") == F.col("h_node"), "left")
+            .select(F.col("x.node").alias("node"),
+                    F.col("x.component").alias("component"),
+                    F.coalesce(F.col("h_comp"), F.col("x.component"))
+                    .alias("hop"))
+        )
+        new_labels = (
+            hop.join(nbr_min, hop["node"] == nbr_min["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.col("hop"),
+                ).alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select(
+                "node", F.col("component").alias("old")), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} rounds")
+    return labels, rounds
