@@ -102,6 +102,14 @@ SPECS = {
         corpus=dict(seed=1234, n_hosts=256, n_pages=1_500_000, zipf_s=1.1,
                     fanout=10),
         n_seeds=40_000, round_size=400_000, max_rounds=6, depth=8),
+    # same corpus as "scale", 3x the round size: the fixed-cost
+    # amortization datapoint — per-round job count is constant, so bigger
+    # rounds spread the same fixed cost over more URLs (the 10^10-scale
+    # regime has 10^8-10^9-candidate rounds)
+    "xl": dict(
+        corpus=dict(seed=1234, n_hosts=256, n_pages=1_500_000, zipf_s=1.1,
+                    fanout=10),
+        n_seeds=40_000, round_size=1_200_000, max_rounds=5, depth=8),
 }
 
 
