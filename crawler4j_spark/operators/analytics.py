@@ -2305,3 +2305,56 @@ def q_warm_start_bulk(spark, sf_dir):
     )
     accepted, _hwm = resolve_warm_batch(rows, hwm0=0, seen_df=None)
     return accepted.select("ord", "url", "docid")
+
+
+# --- Link-graph authority (frontier prioritization signal) ------------------
+
+
+@register("graph_pagerank_step", """
+WITH edges AS (
+  SELECT DISTINCT o_orderkey % 400 AS src,
+                  (o_orderkey * 7 + o_custkey) % 400 AS dst
+  FROM orders
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst AS node, SUM(1.0::DOUBLE / o.d) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)
+SELECT n.node, ROUND(0.15 + 0.85 * COALESCE(contrib.c, 0), 6) AS pr
+FROM nodes n LEFT JOIN contrib ON n.node = contrib.node
+""")
+def q_graph_pagerank_step(spark, sf_dir):
+    """One PageRank power iteration (damping 0.85, uniform init 1.0) over a
+    synthetic host link graph — the authority signal a production crawler
+    feeds back into frontier priority (OPIC/PageRank ordering; the
+    reference's priority byte, WebURL.java, is user-set — this computes
+    one). The canonical two-shuffle step: degree join keyed on src (at
+    scale: pre-partition edges by src so this is co-located), then the
+    contribution aggregation keyed on dst with full map-side combine.
+    Iterate by feeding `pr` back as the next round's weights — each
+    iteration is exactly this plan, so K iterations are 2K shuffles over
+    an edge table partitioned once."""
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 400).alias("src"),
+                ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 400)
+                .alias("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .groupBy("dst").agg(F.sum(F.lit(1.0) / F.col("d")).alias("c"))
+        .withColumnRenamed("dst", "node")
+    )
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    return (
+        nodes.join(contrib, "node", "left")
+        .select("node",
+                F.round(F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0)),
+                        6).alias("pr"))
+    )
