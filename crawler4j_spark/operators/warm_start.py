@@ -56,6 +56,14 @@ def resolve_warm_batch(
     spark = df.sparkSession
     empty = spark.createDataFrame([], "ord long, url string, docid long")
     pending = df.select("ord", "url", "docid")
+    # ord ties would make every window below rank nondeterministically —
+    # fail loudly instead (one bounded action against the batch).
+    dup = pending.groupBy("ord").count().filter(F.col("count") > 1).limit(1)
+    clash = dup.collect()
+    if clash:
+        raise ValueError(
+            f"resolve_warm_batch: ord values must be unique; "
+            f"ord={clash[0]['ord']} appears {clash[0]['count']} times")
     if seen_df is not None:
         pending = pending.join(
             seen_df.select("url"), "url", "left_anti")

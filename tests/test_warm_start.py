@@ -108,3 +108,10 @@ def test_engine_bulk_equals_sequential(spark, tmp_path):
         (r["url"], r["docid"])
         for r in eng_blk._read("seen").select("url", "docid").collect())
     assert seen_blk == seen_seq
+
+
+def test_duplicate_ord_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 6)], "ord long, url string, docid long")
+    with pytest.raises(ValueError, match="unique"):
+        resolve_warm_batch(df, 0, None, n_buckets=2)
