@@ -243,6 +243,44 @@ class SnapshotStore:
         self._write_manifest(new)
         return new["version"]
 
+    def snapshot_versions(self) -> list[int]:
+        """Version numbers of every retained snapshot manifest, oldest
+        first (driver-side metadata walk over tiny JSONs)."""
+        mdir = os.path.join(self.root, "_manifests")
+        return sorted(
+            int(fn[len("manifest-"):-len(".json")])
+            for fn in os.listdir(mdir)
+            if fn.startswith("manifest-") and fn.endswith(".json"))
+
+    def manifest_at(self, version: int) -> dict:
+        """The manifest of a specific retained snapshot (its ``props``
+        carry that round's scalar checkpoint state)."""
+        path = os.path.join(self.root, "_manifests",
+                            f"manifest-{version:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no retained snapshot with version {version}; "
+                             f"have {self.snapshot_versions()}")
+        with open(path) as f:
+            return json.load(f)
+
+    def read_at(self, table: str, version: int) -> Optional[DataFrame]:
+        """Time travel: the table AS OF an earlier committed snapshot —
+        the Iceberg ``VERSION AS OF`` analog. Valid for any snapshot whose
+        data files are still on disk; ``gc_unreferenced`` is the
+        expire-snapshots analog (it keeps only the CURRENT snapshot's
+        files), after which reading an expired version raises instead of
+        returning a partial table."""
+        entries = (self.manifest_at(version).get("tables", {})
+                   .get(table, {}).get("files", []))
+        missing = [e["path"] for e in entries
+                   if not os.path.exists(os.path.join(self.root, e["path"]))]
+        if missing:
+            raise ValueError(
+                f"snapshot {version} of '{table}' has been expired by "
+                f"gc_unreferenced ({len(missing)} data file(s) gone, "
+                f"e.g. {missing[0]})")
+        return self.read(table, files=entries)
+
     def lineage_history(self) -> list[dict]:
         """Lineage dicts of every retained snapshot manifest, oldest first.
         Manifests are tiny JSON; this is a driver-side metadata walk."""
