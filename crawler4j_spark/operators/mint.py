@@ -140,11 +140,22 @@ def running_max_before(
     if lo is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     span = max(int(hi) - int(lo) + 1, 1)
+    # Bucket in double space: long arithmetic ((ord-lo) * n_buckets)
+    # overflows for hash/nanosecond-scale ord spans (> ~2^58) and would
+    # silently corrupt the running max. Double conversion is monotonic in
+    # ord, so order-consistency of the buckets is preserved; the clamp
+    # guards the two rounding edges (col rounding just below lo, and
+    # (hi-lo)/span rounding up to exactly 1.0).
     df = df.withColumn(
         "_pmb",
-        ((F.col(ord_col) - F.lit(int(lo))) * n_buckets / F.lit(span))
-        .cast("long"))
-    # persist below the window (see mint_docids)
+        F.greatest(F.lit(0).cast("long"), F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.floor((F.col(ord_col).cast("double") - float(int(lo)))
+                    * n_buckets / float(span)).cast("long"))))
+    # persist below the window (see mint_docids); unpersisted below once
+    # the checkpointed output is materialized — callers loop (warm-start
+    # fixpoint), so leaked cache blocks would accumulate on a long-lived
+    # driver until JVM GC happened to trigger ContextCleaner.
     df = df.persist()
     rows = df.groupBy("_pmb").agg(F.max(value_col).alias("m")) \
         .orderBy("_pmb").collect()
@@ -156,10 +167,15 @@ def running_max_before(
     off = spark.createDataFrame(pref, "_pmb long, _bpref long")
     w = (Window.partitionBy("_pmb").orderBy(ord_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    return (
+    out = (
         df.join(F.broadcast(off), "_pmb", "left")
         # greatest() skips nulls: first row of the first bucket gets null
         .withColumn(out_col, F.greatest(
             F.max(value_col).over(w), F.col("_bpref")))
         .drop("_pmb", "_bpref")
     )
+    # Materialize the result (cutting lineage for fixpoint callers), then
+    # free the cache deterministically instead of waiting for GC.
+    out = out.localCheckpoint(eager=True)
+    df.unpersist()
+    return out

@@ -79,13 +79,16 @@ def resolve_warm_batch(
         eligible = marked.filter(F.col("_occ") == 1).drop("_occ")
         waiting = marked.filter(F.col("_occ") > 1).drop("_occ")
 
+        # running_max_before returns an eagerly checkpointed frame (and
+        # frees its internal cache), so the cheap _acc arithmetic on top
+        # needs no second checkpoint here.
         decided = running_max_before(
             eligible, "ord", "docid", "_pm", n_buckets=n_buckets
         ).withColumn(
             "_acc",
             (F.col("docid") > F.lit(hwm))
             & (F.col("_pm").isNull() | (F.col("docid") > F.col("_pm"))),
-        ).localCheckpoint()
+        )
 
         # First freeing event: a docid-rejected first occurrence whose url
         # has a later pending occurrence — everything after it must be

@@ -129,7 +129,17 @@ def html_to_spans(html: Optional[str]) -> list[dict]:
                 content = a.get("content", "")
                 if "url=" in content.lower():
                     target = content[content.lower().index("url=") + 4:].strip()
-                    emit("meta", None, target)
+                    # Quoted targets (content='0; url="http://x"') keep the
+                    # value between the matching quotes; unquoted ones end
+                    # at the next ';' parameter separator.
+                    if target[:1] in ("'", '"'):
+                        q_end = target.find(target[0], 1)
+                        target = target[1:q_end if q_end != -1 else None]
+                    else:
+                        target = target.split(";", 1)[0]
+                    target = target.strip()
+                    if target:
+                        emit("meta", None, target)
         else:
             ref = a.get(_TAG_ATTR[tag])
             if ref is not None:

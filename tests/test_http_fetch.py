@@ -85,6 +85,26 @@ def test_html_to_spans_document_order():
     assert spans[1]["text"] == "anchor"
 
 
+def test_html_to_spans_meta_refresh_quoting():
+    # Quoted targets must lose the surrounding quotes; unquoted targets
+    # end at the next ';' parameter separator.
+    cases = {
+        '<meta http-equiv="refresh" content=\'0; url="http://x/q"\'>':
+            "http://x/q",
+        "<meta http-equiv='refresh' content=\"0; url='http://y/s'\">":
+            "http://y/s",
+        '<meta http-equiv="refresh" content="5; url=http://z/u; foo=bar">':
+            "http://z/u",
+    }
+    for html, want in cases.items():
+        spans = html_to_spans(html)
+        assert [(s["kind"], s["media_ref"]) for s in spans] == [
+            ("meta", want)], html
+    # An empty target after stripping emits no span at all.
+    assert html_to_spans(
+        '<meta http-equiv="refresh" content="0; url=\'\'">') == []
+
+
 def test_http_transport_end_to_end(spark, tmp_path, stub_server):
     port = stub_server
 

@@ -43,8 +43,15 @@ def main() -> None:
     # Import AFTER the session exists: resolves from the --py-files zip.
     from crawler4j_spark.operators.analytics import REGISTRY
 
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries {unknown}; valid names: "
+            + ", ".join(sorted(REGISTRY)))
+
     out = {}
-    for name in args.queries.split(","):
+    for name in names:
         fn, _ = REGISTRY[name]
         out[name] = fn(spark, args.sf_dir).count()
     print("RESULT " + json.dumps(out, sort_keys=True))
