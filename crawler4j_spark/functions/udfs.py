@@ -28,6 +28,7 @@ from .robots import arrays_allow, directives_to_arrays, parse_robots
 __all__ = [
     "canonicalize_udf",
     "canonicalize_with_context_udf",
+    "outlink_canonical_udf",
     "host_udf",
     "path_udf",
     "domain_split_udf",
@@ -90,6 +91,29 @@ def canonicalize_batch(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
     return canonicalize_batch(hrefs, contexts)
+
+
+@F.pandas_udf(StringType())
+def outlink_canonical_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+    """The parse stage's per-href Python work, batched: strip + junk filter
+    (Parser.java:138-144, same predicate as functions.spans.link_hrefs —
+    pandas .str ops have exact Python-string semantics, so engine and
+    simulator cannot drift) + canonicalize (prescreened). Returns NULL for
+    junk hrefs AND for canonicalize failures: the reference skips both
+    without counting them toward the outlink cap (url_count++ only runs
+    after a non-null canonical, Parser.java:146-155), so one null signal
+    carries the exact downstream semantics."""
+    s = hrefs.str.strip()
+    low = s.str.lower()
+    junk = (
+        s.eq("")
+        | low.str.contains("javascript:", regex=False)
+        | low.str.contains("mailto:", regex=False)
+        | low.str.contains("@", regex=False)
+    )
+    out = canonicalize_batch(s, contexts)
+    out[junk] = None
+    return out
 
 
 @F.pandas_udf(StringType())

@@ -1,21 +1,38 @@
-"""Parse stage: fetched pages → ordered outlink candidates (Arrow-batched).
+"""Parse stage: fetched pages → ordered outlink candidates.
 
 Replaces the reference's per-thread ``Parser.parse`` + outlink loop
-(``parser/Parser.java:59-175``, ``crawler/WebCrawler.java:464-479``) with one
-``mapInPandas`` pass over the fetched-page batch. The per-page candidate
-extraction calls the same kernels as the reference simulator
-(``functions/spans.outlink_candidates``, ``functions/netkit.extract_urls``),
-so engine and spec cannot drift.
+(``parser/Parser.java:59-175``, ``crawler/WebCrawler.java:464-479``) with a
+DataFrame-native pipeline (round 4; rounds 1-3 ran a per-row Python loop
+inside one mapInPandas — the last Python-rate stage on the hot path):
+
+* HTML pages: ``posexplode(spans)`` + LINK_KINDS/null filtering run
+  JVM-side; ONE Arrow-batched pandas UDF (``outlink_canonical_udf``) does
+  the per-href Python work — strip + junk filter + canonicalize, with the
+  C-speed ``_CANONICAL_FAST`` prescreen; the reference's outlink-cap
+  counting (``urlCount++; if (urlCount > max) break;`` — the max+1
+  off-by-one, Parser.java:152-155), within-page first-occurrence dedup and
+  ``within_order`` assignment are window functions over ONE hash shuffle on
+  the page docid. Whole-stage codegen covers everything but the UDF.
+* plain-text pages: the regex URL extraction (Parser.java:76-91, raw — NOT
+  canonicalized) needs the Python kernel; it runs in a mapInPandas over
+  only the text-page subset.
+* binary pages emit nothing (Tika path out of scope, SURVEY §"out of
+  scope"); when ``include_binary`` is false they are NotAllowedContent and
+  emit nothing either way.
+
+The reference simulator keeps using the pure-Python kernels
+(``functions/spans.outlink_candidates``); the engine↔simulator parity
+suite (tests/test_engine_parity.py) is the proof the two formulations
+agree. The junk-filter/cap/dedup predicates here mirror
+``functions/spans.link_hrefs``/``candidates_from_canonical`` line for
+line; the strip/lower/contains pieces run with exact Python string
+semantics inside the pandas UDF, not as JVM approximations.
 
 Input rows (one per fetched 200-page): url, docid, depth, seed_docid,
 process_seq, content_type, spans.
 Output rows (one per within-page-unique candidate): parent fields +
 candidate url/tag/anchor + ``within_order`` (first-occurrence document
 order) — the second half of the docid mint key (J1, SURVEY §7).
-
-Plain-text pages emit raw regex-extracted URLs (NOT canonicalized —
-Parser.java:76-91); HTML pages emit canonicalized spans-derived candidates.
-Binary pages emit nothing (Tika path out of scope, SURVEY §"out of scope").
 """
 
 from __future__ import annotations
@@ -23,7 +40,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -37,11 +55,9 @@ from ..functions.netkit import (
     charset_from_content_type,
     decode_content,
     extract_urls,
-    has_binary_content,
-    has_plain_text_content,
 )
-from ..functions.spans import body_text, candidates_from_canonical, link_hrefs
-from ..functions.udfs import canonicalize_batch
+from ..functions.spans import LINK_KINDS, body_text
+from ..functions.udfs import outlink_canonical_udf
 
 __all__ = ["extract_candidates", "CANDIDATE_SCHEMA"]
 
@@ -57,6 +73,131 @@ CANDIDATE_SCHEMA = StructType([
     StructField("process_seq", LongType()),
 ])
 
+_PARENT_COLS = ["url", "docid", "depth", "seed_docid", "process_seq"]
+
+# content-type routing, column form of netkit.has_binary_content /
+# has_plain_text_content (X3); built lazily — Columns need a live session
+def _is_binary():
+    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+    return ct.rlike("image|audio|video|application")
+
+
+def _is_plain_text():
+    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+    return ct.contains("text") & ~ct.contains("html")
+
+
+def _as_candidates(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("cand_url").alias("url"),
+        "tag", "anchor",
+        F.col("within_order").cast("int").alias("within_order"),
+        F.col("docid").alias("parent_docid"),
+        F.col("url").alias("parent_url"),
+        "seed_docid",
+        F.col("depth").cast("int").alias("parent_depth"),
+        "process_seq",
+    )
+
+
+def _html_candidates(pages: DataFrame, max_outlinks: int) -> DataFrame:
+    """The hot path, JVM-side except one vectorized canonicalize UDF."""
+    spans = (
+        pages
+        .select(*_PARENT_COLS,
+                F.posexplode("spans").alias("pos", "span"))
+        .select(*_PARENT_COLS, "pos",
+                F.col("span.kind").alias("kind"),
+                F.col("span.text").alias("text"),
+                F.col("span.media_ref").alias("media_ref"),
+                F.col("span.offset").alias("offset"))
+        .filter(F.col("kind").isin(list(LINK_KINDS))
+                & F.col("media_ref").isNotNull())
+    )
+    # strip + junk + canonicalize in one Arrow batch; NULL = skipped row
+    # (junk or canonicalize failure — neither counts toward the cap)
+    cands = spans.withColumn(
+        "cand_url", outlink_canonical_udf(F.col("media_ref"), F.col("url")))
+
+    # Document order within a page = (offset, pos): the kernel's
+    # sorted(key=offset) is a STABLE sort, so array position breaks ties.
+    # All three windows share one hash partitioning on the page docid —
+    # one shuffle, bounded by the round's candidate count.
+    order = [F.col("offset"), F.col("pos")]
+    w_cum = (Window.partitionBy("docid").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # count() skips nulls: cum == the reference's urlCount AFTER this row.
+    # Keep rows with cum <= max+1 — the row reaching max+1 is processed and
+    # THEN the loop breaks (the reference's off-by-one).
+    capped = (
+        cands
+        .withColumn("cum", F.count("cand_url").over(w_cum))
+        .filter(F.col("cand_url").isNotNull()
+                & (F.col("cum") <= max_outlinks + 1))
+    )
+    w_first = Window.partitionBy("docid", "cand_url").orderBy(*order)
+    w_order = Window.partitionBy("docid").orderBy(*order)
+    deduped = (
+        capped
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .withColumn("within_order", F.row_number().over(w_order) - 1)
+        .withColumn("tag", F.col("kind"))
+        .withColumn("anchor", F.coalesce(F.col("text"), F.lit("")))
+    )
+    return _as_candidates(deduped)
+
+
+def _text_candidates(pages: DataFrame) -> DataFrame:
+    """Plain-text pages: raw regex URL extraction (NOT canonicalized —
+    Parser.java:76-91) via the Python kernel, over the text subset only."""
+    has_data = "content_data" in pages.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["cand_url", "tag", "anchor", "within_order", "docid",
+                "url", "seed_docid", "depth", "process_seq"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = getattr(r, "content_data", None) if has_data else None
+                if data is not None:
+                    # X8: new String(contentData, charset from the
+                    # Content-Type header) — Parser.java:79-82,
+                    # Page.java:129-135. The engine pre-routes bad charsets
+                    # to the error channel; guard anyway so direct library
+                    # use degrades to "no outlinks" like fetchContent's
+                    # catch(Exception), not an executor crash.
+                    try:
+                        charset = charset_from_content_type(r.content_type)
+                    except UnsupportedCharsetError:
+                        continue
+                    text = decode_content(bytes(data), charset)
+                else:
+                    text = body_text([
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in (r.spans if r.spans is not None else [])
+                    ])
+                for i, raw in enumerate(extract_urls(text)):
+                    rows.append((raw, "", "", i, r.docid, r.url,
+                                 r.seed_docid, r.depth, r.process_seq))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = StructType([
+        StructField("cand_url", StringType()),
+        StructField("tag", StringType()),
+        StructField("anchor", StringType()),
+        StructField("within_order", IntegerType()),
+        StructField("docid", LongType()),
+        StructField("url", StringType()),
+        StructField("seed_docid", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("process_seq", LongType()),
+    ])
+    cols = [*_PARENT_COLS, "content_type", "spans"]
+    if has_data:
+        cols.append("content_data")
+    return _as_candidates(pages.select(*cols).mapInPandas(gen, schema))
+
 
 def extract_candidates(
     fetched: DataFrame,
@@ -64,78 +205,14 @@ def extract_candidates(
     include_binary: bool,
 ) -> DataFrame:
     """Candidates of all 200-status pages, in mint order within each page."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            # Pass 1: junk-filter every HTML page's link spans (shared
-            # link_hrefs kernel) into ONE flat batch of (href, page_url);
-            # plain-text/binary pages are handled inline as before.
-            html_pages = []          # (row, kinds, anchors, start, stop)
-            flat_hrefs: list[str] = []
-            flat_ctx: list[str] = []
-            for r in pdf.itertuples(index=False):
-                ctype = r.content_type
-                spans = [
-                    (s["kind"], s["text"], s["media_ref"], s["offset"])
-                    for s in (r.spans if r.spans is not None else [])
-                ]
-                if has_binary_content(ctype):
-                    if not include_binary:
-                        continue  # NotAllowedContent: no outlinks, no visit
-                    # binary page: no outlinks (Tika path out of scope)
-                elif has_plain_text_content(ctype):
-                    data = getattr(r, "content_data", None)
-                    if data is not None:
-                        # X8: new String(contentData, charset from the
-                        # Content-Type header) — Parser.java:79-82,
-                        # Page.java:129-135. The engine pre-routes bad
-                        # charsets to the error channel; guard anyway so
-                        # direct library use on unfiltered pages degrades
-                        # to "no outlinks" like fetchContent's
-                        # catch(Exception), not an executor crash.
-                        try:
-                            charset = charset_from_content_type(ctype)
-                        except UnsupportedCharsetError:
-                            continue
-                        text = decode_content(bytes(data), charset)
-                    else:
-                        text = body_text(spans)
-                    for i, raw in enumerate(extract_urls(text)):
-                        rows.append((raw, "", "", i, r.docid, r.url,
-                                     r.seed_docid, r.depth, r.process_seq))
-                else:
-                    links = link_hrefs(spans)
-                    start = len(flat_hrefs)
-                    flat_hrefs.extend(h for _k, h, _a in links)
-                    flat_ctx.extend(r.url for _ in links)
-                    html_pages.append(
-                        (r, [k for k, _h, _a in links],
-                         [a for _k, _h, a in links], start, len(flat_hrefs)))
-            # Batch canonicalize across ALL pages of the Arrow batch: the
-            # _CANONICAL_FAST prescreen runs in C; only misses hit the
-            # per-element kernel (was: one Python call per href —
-            # Parser.java:146-150, the round-3 hot-path loop).
-            if flat_hrefs:
-                canon = canonicalize_batch(
-                    pd.Series(flat_hrefs, dtype=object),
-                    pd.Series(flat_ctx, dtype=object),
-                ).to_numpy()
-            else:
-                canon = []
-            # Pass 2: the reference's cap/dedup counting loop per page over
-            # the precomputed canonical URLs (candidates_from_canonical).
-            for r, kinds, anchors, start, stop in html_pages:
-                for c in candidates_from_canonical(
-                        zip(kinds, canon[start:stop], anchors), max_outlinks):
-                    rows.append((c.url, c.tag, c.anchor, c.order, r.docid,
-                                 r.url, r.seed_docid, r.depth, r.process_seq))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in CANDIDATE_SCHEMA.fields]
-            )
-
-    cols = ["url", "docid", "depth", "seed_docid", "process_seq",
-            "content_type", "spans"]
+    cols = [*_PARENT_COLS, "content_type", "spans"]
     if "content_data" in fetched.columns:  # X8 raw-payload pages
         cols.append("content_data")
-    return fetched.select(*cols).mapInPandas(gen, CANDIDATE_SCHEMA)
+    base = fetched.select(*cols)
+    # binary pages contribute no outlinks whether or not they are visited
+    # (include_binary only gates the VISIT, handled in the fetch log;
+    # Tika binary outlinks are out of scope) — drop them here either way.
+    html = base.filter(~_is_binary() & ~_is_plain_text())
+    text = base.filter(~_is_binary() & _is_plain_text())
+    return _html_candidates(html, max_outlinks).unionByName(
+        _text_candidates(text))
