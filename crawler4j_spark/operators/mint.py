@@ -82,6 +82,7 @@ def ordered_rank(
     order_cols: list,    # tie-break ordering within a bucket
     out_col: str,
     base: int = 0,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Distributed dense rank over a total order, without a global sort:
     the caller supplies an order-consistent bucketing expression (every row
@@ -92,11 +93,19 @@ def ordered_rank(
     ``order_cols`` must be a TOTAL order within each bucket (include a
     unique tiebreaker such as docid): the window sits above the persist,
     so a second consumption recomputes row_number and ties would rank
-    nondeterministically."""
+    nondeterministically.
+
+    Loop callers (the engine calls this once per crawl round) should pass
+    ``persisted_out``: the internal cache handle is appended so the caller
+    can ``unpersist()`` it once the output is materialized, instead of
+    leaking one cached frame per round until JVM GC triggers
+    ContextCleaner."""
     df = df.withColumn("_ob", bucket_col.cast("long"))
     # persist below the window (see mint_docids): the count materializes
     # the un-sorted frame; the caller's single consumption pays the sort
     df = df.persist()
+    if persisted_out is not None:
+        persisted_out.append(df)
     counts = df.groupBy("_ob").count().orderBy("_ob").collect()
     offsets, acc = {}, base
     for r in counts:

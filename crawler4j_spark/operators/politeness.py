@@ -37,10 +37,22 @@ def assign_slots(
     host_state: DataFrame | None,  # (host, next_time) carried across rounds
     clock: int,
     politeness_ms: int,
-    dense_seq_distributed: bool = False,
+    dense_seq_distributed: bool | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Adds ``slot``, ``eff_time`` and the round-total ``process_seq``
-    ordering column to the claimed batch."""
+    ordering column to the claimed batch.
+
+    ``dense_seq_distributed=None`` (the default) auto-selects: the
+    distributed two-stage rank whenever ``politeness_ms > 0`` (the bucket
+    formula needs the slot spacing), so the default round plan carries no
+    single-partition exchange at ANY claim-batch size; the single-window
+    form only as the ``politeness_ms == 0`` fallback (and on explicit
+    ``False`` for A/B parity checks). Both paths order by
+    ``(eff_time, priority, depth_key, docid)`` and produce the identical
+    dense ``process_seq`` — equality is asserted in tests/test_plan_audit.py
+    and the engine parity suite runs entirely through the distributed
+    path."""
     df = claimed.withColumn("depth_key", F.least(F.col("depth"), F.lit(127)))
     if host_state is not None:
         df = df.join(F.broadcast(host_state), "host", "left")
@@ -58,21 +70,27 @@ def assign_slots(
         "eff_time",
         F.col("host_start") + (F.col("slot") - F.lit(1)) * F.lit(politeness_ms),
     )
+    if dense_seq_distributed is None:
+        dense_seq_distributed = politeness_ms > 0
     if dense_seq_distributed and politeness_ms > 0:
-        # scale path: floor(eff_time/delay) is order-consistent (floor is
-        # monotone in eff_time), so the global process order is computed as
-        # a distributed two-stage rank — no single-partition window. Bucket
-        # sizes ≈ #hosts each (one slot per host per bucket): well balanced.
+        # scale path (the default): floor(eff_time/delay) is order-consistent
+        # (floor is monotone in eff_time), so the global process order is
+        # computed as a distributed two-stage rank — no single-partition
+        # window. Bucket sizes ≈ #hosts each (one slot per host per bucket):
+        # well balanced.
         df = ordered_rank(
             df, F.floor(F.col("eff_time") / F.lit(politeness_ms)),
-            ["eff_time"] + KEY_COLS, "process_seq")
+            ["eff_time"] + KEY_COLS, "process_seq",
+            persisted_out=persisted_out)
         return df.drop("depth_key")
     w_all = Window.orderBy("eff_time", *KEY_COLS)
-    # parity path: a single-partition window over the claim batch
-    # (≤ round_size rows, not the 10^10 frontier)
-    return df.withColumn("process_seq", F.row_number().over(w_all)).drop(
-        "depth_key"
-    )
+    # fallback/A-B path: a single-partition window over the claim batch
+    # (≤ round_size rows, not the 10^10 frontier). Cast to long so both
+    # paths write the same fetch_log column type (the merged read widens
+    # pre-round-5 int files).
+    return df.withColumn(
+        "process_seq", F.row_number().over(w_all).cast("long")
+    ).drop("depth_key")
 
 
 def new_host_carry(slotted: DataFrame, clock: int, politeness_ms: int) -> DataFrame:

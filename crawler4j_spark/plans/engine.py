@@ -154,9 +154,12 @@ class EngineConfig:
     # top-K claim (TakeOrderedAndProject — single-partition for large K);
     # False claims all rows of the stats-pruned head files (≈ round_size,
     # priority-region-accurate) with no global sort. dense_seq_distributed
-    # computes the politeness process order via the two-stage rank.
+    # computes the politeness process order via the two-stage rank; None
+    # (default) auto-selects it whenever politeness_ms > 0, so the default
+    # round plan has no single-partition exchange at any claim-batch size
+    # (False forces the single-window form, for A/B checks only).
     exact_claim: bool = True
-    dense_seq_distributed: bool = False
+    dense_seq_distributed: bool | None = None
     # J4 robots TTL on the engine's virtual clock. The default replicates
     # the fork's HostDirectives.java:28 bug — 24*60*1000L is 24 MINUTES
     # (the comment claims 24 hours). Use 24*3600*1000 for the intended
@@ -582,6 +585,72 @@ class CrawlEngine:
             )
         return results
 
+    # ------------------------------------------------- authority feedback
+
+    def host_link_edges(self) -> DataFrame:
+        """Directed host-level link graph observed so far — (src, dst) =
+        (parent's host, url's host) for every scheduled URL, distinct over
+        the pending frontier plus the fetch log. Input for
+        ``operators.graph.pagerank``; one distinct shuffle over tables the
+        store already holds."""
+        parts = []
+        frontier = self._read("frontier")
+        if frontier is not None:
+            parts.append(frontier.select("parent_url", "host"))
+        log = self.store.read("fetch_log", merge_schema=True)
+        if log is not None:
+            parts.append(log.select("parent_url", "host"))
+        if not parts:
+            return self.spark.createDataFrame([], "src string, dst string")
+        both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return (
+            both.filter(F.col("parent_url").isNotNull())
+            .select(host_udf(F.col("parent_url")).alias("src"),
+                    F.col("host").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def reprioritize_frontier(self, rank_df: DataFrame, key: str = "host",
+                              scale: float = 8.0) -> int:
+        """Authority feedback between rounds (OPIC/PageRank frontier
+        ordering): fold a computed rank — e.g.
+        ``graph.pagerank(self.host_link_edges())`` with node renamed to
+        ``host`` — into the pending frontier's ``priority`` column. Higher
+        rank ⇒ smaller (earlier) priority, clamped to the reference's byte
+        range (url/WebURL.java:255-263); the claim order (priority asc,
+        min(depth,127), docid — WorkQueues.java:185-209) is otherwise
+        unchanged, and rows whose ``key`` has no rank keep their current
+        priority.
+
+        Scale shape: one join (the rank table is per-host — AQE broadcasts
+        it under the threshold) plus a full frontier rewrite whose staged
+        files record fresh (priority, depth, docid) stats for the pruned
+        claim path. A full rewrite is the point — run it BETWEEN rounds at
+        a maintenance cadence (every K rounds), never per round. Returns
+        the frontier row count."""
+        frontier = self._read("frontier")
+        if frontier is None:
+            return 0
+        rank = rank_df.select(key, F.col("pr").alias("_pr"))
+        new_priority = F.when(
+            F.col("_pr").isNotNull(),
+            F.greatest(
+                F.lit(-128),
+                F.least(F.lit(127),
+                        -F.round(F.col("_pr") * F.lit(scale)).cast("int"))),
+        ).otherwise(F.col("priority")).cast("int")
+        updated = (
+            frontier.join(rank, key, "left")
+            .withColumn("priority", new_priority)
+            .drop("_pr")
+        )
+        entries = self.store.stage_dataframe(
+            updated, stats_cols=["priority", "depth", "docid"])
+        self.store.commit(replaces={"frontier": entries},
+                          props=self._props())
+        return sum(e["rows"] for e in entries)
+
     # ---------------------------------------------------------------- round
 
     def frontier_pending(self) -> int:
@@ -632,9 +701,11 @@ class CrawlEngine:
             claimed = frontier_head  # whole head files (≈ round_size rows)
 
         # --- politeness slots + process order (O1-O4) ---
+        slot_caches: list = []
         slotted = assign_slots(
             claimed, self._host_state_view(), self.clock, sim.politeness_ms,
-            dense_seq_distributed=cfg.dense_seq_distributed)
+            dense_seq_distributed=cfg.dense_seq_distributed,
+            persisted_out=slot_caches)
         if cfg.max_host_slots_per_round is not None:
             # defer a hot host's tail beyond the cap: those rows are simply
             # not claimed (stay pending), so no host starves a round
@@ -642,6 +713,10 @@ class CrawlEngine:
                 F.col("slot") <= cfg.max_host_slots_per_round)
         claimed_entries = self.store.stage_dataframe(
             slotted, stats_cols=["docid"])
+        # the staged parquet is the only consumer — free the rank cache now
+        # rather than one leaked frame per round until GC
+        for _c in slot_caches:
+            _c.unpersist()
         mark("claim_slots")
         slotted = self.store.read("frontier_claimed_tmp", files=claimed_entries)
         if cfg.url_rewrite is not None:

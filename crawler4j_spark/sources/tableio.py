@@ -87,18 +87,75 @@ class SnapshotStore:
              merge_schema: bool = False) -> Optional[DataFrame]:
         """DataFrame over the table's current snapshot (or a file subset);
         None when the table is empty/absent. ``merge_schema=True`` unions
-        the per-file schemas (columns absent from older files read as
-        null) — used by result views over append-only logs whose schema
-        gained columns across releases; costs a footer read per file, so
-        keep it out of the per-round hot path."""
+        the per-file schemas with type WIDENING (columns absent from older
+        files read as null; int columns widened to long where a newer
+        release widened the type, e.g. fetch_log.process_seq in round-5
+        stores vs earlier ones) — used by result views over append-only
+        logs whose schema evolved across releases; costs a footer read per
+        file, so keep it out of the per-round hot path."""
         entries = self.table_files(table) if files is None else files
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         if not paths:
             return None
-        reader = self.spark.read
         if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+            return self._read_merged(table, paths)
+        return self.spark.read.parquet(*paths)
+
+    # promotable atomic types for cross-release schema widening (parquet
+    # mergeSchema refuses these, so the merged read handles them itself)
+    _WIDEN = {  # keys are DataType.simpleString() names
+        frozenset({"tinyint", "smallint"}): "smallint",
+        frozenset({"tinyint", "int"}): "int",
+        frozenset({"smallint", "int"}): "int",
+        frozenset({"tinyint", "bigint"}): "bigint",
+        frozenset({"smallint", "bigint"}): "bigint",
+        frozenset({"int", "bigint"}): "bigint",
+        frozenset({"float", "double"}): "double",
+    }
+
+    def _read_merged(self, table: str, paths: list[str]) -> DataFrame:
+        """Union of the per-file-schema groups, missing columns as nulls and
+        promotable numeric types widened (int→long etc.). Equal-schema
+        stores (the common case) take the plain single-read path."""
+        import pyarrow.parquet as pq
+
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            sch = pq.read_schema(p)
+            key = tuple(zip(sch.names, map(str, sch.types)))
+            groups.setdefault(key, []).append(p)
+        if len(groups) == 1:
+            return self.spark.read.parquet(*paths)
+
+        frames = [self.spark.read.parquet(*ps) for ps in groups.values()]
+        target: dict[str, object] = {}       # column -> widened simpleString
+        for df in frames:
+            for f in df.schema.fields:
+                t = f.dataType.simpleString()
+                prev = target.get(f.name)
+                if prev is None or prev == t:
+                    target[f.name] = t
+                else:
+                    wide = self._WIDEN.get(frozenset({prev, t}))
+                    if wide is None:
+                        raise ValueError(
+                            f"{table}: column {f.name!r} has incompatible "
+                            f"types across snapshot files: {prev} vs {t}")
+                    target[f.name] = wide
+
+        from pyspark.sql import functions as F
+        out = None
+        for df in frames:
+            cols = [
+                (F.col(name) if df.schema[name].dataType.simpleString() == t
+                 else F.col(name).cast(t)).alias(name)
+                if name in df.columns
+                else F.lit(None).cast(t).alias(name)
+                for name, t in target.items()
+            ]
+            part = df.select(*cols)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def row_count(self, table: str) -> int:
         return sum(e.get("rows", 0) for e in self.table_files(table))

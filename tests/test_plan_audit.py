@@ -11,6 +11,7 @@ bench ever sees the slow plan.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -27,6 +28,7 @@ NESTED_LOOP_OK = {
     "ann_lsh_buckets",      # 8-row hyperplane table broadcast
     "ann_ivf_assign",       # k-row centroid table broadcast
     "ann_ivf_probe",        # k-row centroid + 1-row probe vector
+    "ann_ivf_probe_multi",  # k-row centroid + 1-row probe + 3-row cell set
     "ann_kmeans_step",      # k-row centroid table broadcast (assignment half)
 }
 
@@ -58,3 +60,45 @@ def test_plan_has_no_scale_killers(spark, name):
         assert name in SINGLE_PARTITION_OK, (
             f"{name}: {n_single} single-partition exchange(s) in an "
             f"unbounded query")
+
+
+def _claim_batch(spark):
+    """A claimed-batch-shaped frame (the engine's claim-stage input)."""
+    from crawler4j_spark.operators.analytics import _frontier
+
+    return (_frontier(spark, SF_DIR)
+            .withColumn("url", F.concat(F.lit("http://"), F.col("host"),
+                                        F.lit("/p"), F.col("docid"))))
+
+
+def test_engine_claim_stage_default_plan_is_distributed(spark):
+    """The DEFAULT engine politeness/process-order stage must have no
+    single-partition exchange — the distributed two-stage rank is the
+    default path whenever politeness_ms > 0 (EngineConfig
+    dense_seq_distributed=None auto-select)."""
+    from crawler4j_spark.operators.politeness import assign_slots
+
+    slotted = assign_slots(_claim_batch(spark), None, 0, 200)
+    plan = slotted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, (
+        "default claim-stage plan has a single-partition exchange:\n" + plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_assign_slots_distributed_equals_window(spark):
+    """Distributed two-stage rank == single-partition window, row for row
+    (process_seq, slot, eff_time), on a skewed multi-host batch with a
+    carried host_state."""
+    from crawler4j_spark.operators.politeness import assign_slots
+
+    batch = _claim_batch(spark).limit(5000)
+    host_state = spark.createDataFrame(
+        [(f"h{i}", 1000 + 37 * i) for i in range(0, 40, 3)],
+        "host string, next_time long")
+    cols = ["docid", "host", "slot", "eff_time", "process_seq"]
+    dist = assign_slots(batch, host_state, 900, 200,
+                        dense_seq_distributed=True).select(cols)
+    win = assign_slots(batch, host_state, 900, 200,
+                       dense_seq_distributed=False).select(cols)
+    assert sorted(map(tuple, dist.collect())) == \
+        sorted(map(tuple, win.collect()))

@@ -53,3 +53,29 @@ def test_gc_and_atomicity(spark, tmp_path):
     assert removed >= len(orphan)
     # committed data survives GC
     assert st.read("t").count() == 3
+
+
+def test_merged_read_widens_types_and_backfills(spark, tmp_path):
+    """merge_schema=True unions file generations: columns added later read
+    as null in old files, and int columns widened to bigint by a newer
+    release (fetch_log.process_seq, round 5) read as bigint throughout."""
+    st = SnapshotStore(str(tmp_path / "w"), spark)
+    old = st.stage_dataframe(spark.range(3).selectExpr(
+        "id", "CAST(id AS INT) AS process_seq"))
+    new = st.stage_dataframe(spark.range(3, 6).selectExpr(
+        "id", "CAST(id * 10 AS BIGINT) AS process_seq",
+        "CAST(id AS STRING) AS extra"))
+    st.commit(adds={"log": old + new})
+    df = st.read("log", merge_schema=True)
+    assert dict(df.dtypes)["process_seq"] == "bigint"
+    rows = {r.id: (r.process_seq, r.extra) for r in df.collect()}
+    assert rows[2] == (2, None) and rows[5] == (50, "5")
+    # incompatible (non-promotable) types still fail loudly
+    bad = st.stage_dataframe(spark.range(1).selectExpr(
+        "id", "CAST(id AS STRING) AS process_seq"))
+    st.commit(adds={"log": bad})
+    try:
+        st.read("log", merge_schema=True).collect()
+        raise AssertionError("expected ValueError for string vs bigint")
+    except ValueError as e:
+        assert "process_seq" in str(e)
