@@ -1973,6 +1973,99 @@ def q_ann_ivf_probe(spark, sf_dir):
     )
 
 
+@register("ann_ivf_probe_multi", """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+assign AS (
+  SELECT vec_id, cent_id, emb FROM (
+    SELECT e.vec_id, c.cent_id, e.embedding AS emb,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY """ + _IVF_COS.format(a="e.embedding", b="c.cv")
+             + """ DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+qcells AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+           ROW_NUMBER() OVER (
+             ORDER BY """ + _IVF_COS.format(a="c.cv", b="q.qv")
+             + """ DESC, c.cent_id) AS rn
+    FROM cents c CROSS JOIN q
+  ) WHERE rn <= 3
+)
+SELECT a.vec_id,
+       """ + _IVF_COS.format(a="a.emb", b="q.qv") + """ AS sim
+FROM assign a JOIN qcells USING (cent_id) CROSS JOIN q
+WHERE a.vec_id <> 1
+ORDER BY sim DESC, a.vec_id
+LIMIT 10
+""")
+def q_ann_ivf_probe_multi(spark, sf_dir):
+    """IVF probe with nprobe=3 — the recall knob every real ANN deployment
+    turns first: rank ALL centroids against the query (a k-row broadcast,
+    trivial), take the 3 nearest cells, search the union of their members.
+    A probe reads nprobe/k of the vector table; recall rises because the
+    true neighbors straddling the query's cell boundary are now in range.
+    Same rounding/tie-break discipline as ``ann_ivf_probe`` (6 dp, then
+    ids) so the DuckDB oracle hashes identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % 37 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cv")))
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cent_id", "embedding",
+            F.round(
+                _dot(F.col("embedding"), F.col("cv"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                   * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 6)
+            .alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", "cent_id",
+                      F.col("embedding").alias("emb")))
+    qv = (emb.filter(F.col("vec_id") == 1)
+          .select(F.col("embedding").alias("qv")))
+    # nprobe nearest cells: a k-row × 1-row broadcast product + top-3 —
+    # driver-trivial at any scale (k centroids, not the vector table)
+    qcells = (
+        cents.crossJoin(F.broadcast(qv))
+        .select(
+            "cent_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6)
+            .alias("csim"))
+        .orderBy(F.desc("csim"), "cent_id")
+        .limit(3)
+        .select("cent_id")
+    )
+    return (
+        assign.join(F.broadcast(qcells), "cent_id")
+        .filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("emb"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                   * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6)
+            .alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
 # --- Dedup cluster resolution (connected components) ------------------------
 # LSH gives *pairwise* dup signals; a real dedup pipeline must resolve them
 # into clusters (A~B, B~C => {A,B,C} keep one). That resolution is connected
@@ -2358,3 +2451,50 @@ def q_graph_pagerank_step(spark, sf_dir):
                 F.round(F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0)),
                         6).alias("pr"))
     )
+
+
+@register("graph_pagerank", """
+WITH edges AS (
+  SELECT DISTINCT o_orderkey % 400 AS src,
+                  (o_orderkey * 7 + o_custkey) % 400 AS dst
+  FROM orders
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+c1 AS (
+  SELECT e.dst AS node, SUM(1.0::DOUBLE / o.d) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src GROUP BY e.dst
+),
+pr1 AS (
+  SELECT n.node, 0.15 + 0.85 * COALESCE(c1.c, 0) AS pr
+  FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(p.pr / o.d) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src
+               JOIN pr1 p ON p.node = e.src
+  GROUP BY e.dst
+)
+SELECT n.node, ROUND(0.15 + 0.85 * COALESCE(c2.c, 0) + 1e-9, 6) AS pr
+FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+""")
+def q_graph_pagerank(spark, sf_dir):
+    """Multi-iteration PageRank (n_iter=2, damping 0.85) through the
+    factored ``operators/graph.pagerank`` loop — per-iteration
+    localCheckpoint, two shuffles per round (src-keyed joins + dst-keyed
+    aggregate), dangling mass not redistributed. The oracle unrolls the
+    same two iterations as nested CTEs; 6-dp rounding on the final ranks
+    only (intermediate pr1 stays full-precision in both systems; the 1e-9
+    nudge keeps exact-.5e-6 rationals like 0.8990625 off the half-way
+    boundary where Spark and DuckDB round apart)."""
+    from .graph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 400).alias("src"),
+                ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 400)
+                .alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=2).select(
+        "node", F.round(F.col("pr") + F.lit(1e-9), 6).alias("pr"))

@@ -23,7 +23,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,            # (src long/str, dst long/str) directed
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Damped PageRank power iteration over a directed edge list —
+    ``(node, pr)`` after ``n_iter`` rounds from uniform init 1.0 (the
+    classic pr = (1-d) + d·Σ pr(in)/outdeg(in) formulation; the authority
+    signal a production crawler feeds back into frontier priority, see
+    ``CrawlEngine.reprioritize_frontier``. The reference's priority byte is
+    user-set — url/WebURL.java:255-263 — this computes one).
+
+    Scale shape: each iteration is the canonical two-shuffle step — the
+    rank/degree joins key on ``src`` (both exchanges share that
+    partitioning; at cluster scale pre-partition ``edges`` by src once and
+    every iteration's join is co-located), then the contribution aggregate
+    keys on ``dst`` with full map-side combine. Ranks are
+    ``localCheckpoint``ed per iteration so round k's plan never replays
+    rounds 0..k-1 (same discipline as ``connected_components``). Dangling
+    nodes keep the floor rank (their mass is not redistributed — the
+    convention of the standard Spark/Pregel example this mirrors)."""
+    out_edges = edges.select("src", "dst").localCheckpoint()
+    outdeg = out_edges.groupBy("src").agg(F.count("*").alias("_d"))
+    nodes = (out_edges.select(F.col("src").alias("node"))
+             .union(out_edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            out_edges
+            .join(outdeg, "src")
+            .join(ranks.select(F.col("node").alias("src"),
+                               F.col("pr").alias("_w")), "src")
+            .groupBy("dst").agg(F.sum(F.col("_w") / F.col("_d")).alias("_c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit(1.0 - damping)
+                     + F.lit(damping) * F.coalesce("_c", F.lit(0.0)))
+                    .alias("pr"))
+            .localCheckpoint()
+        )
+    return ranks
 
 #: With pointer doubling, rounds ~ log2(diameter) + a small constant; 64
 #: covers any graph that fits on hardware. Hitting it raises rather than
