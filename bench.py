@@ -217,7 +217,7 @@ def frontier_bench(parallelism: int, spec_name: str = "default",
             shutil.rmtree(own_scratch, ignore_errors=True)
 
 
-def headline_bench(sf_dir: str, cpus: int) -> dict:
+def headline_bench(sf_dir: str, cpus: int, profile: bool = False) -> dict:
     from crawler4j_spark.operators.analytics import REGISTRY
     from crawler4j_spark.session import get_spark
 
@@ -228,6 +228,9 @@ def headline_bench(sf_dir: str, cpus: int) -> dict:
         # session start-up (the driver grades the printed per-query numbers)
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         times = {}
+        prof_dir = os.path.join(BENCH_DIR, "profiles")
+        if profile:
+            os.makedirs(prof_dir, exist_ok=True)
         for name in HEADLINE:
             fn, _ = REGISTRY[name]
             t0 = time.time()
@@ -235,6 +238,15 @@ def headline_bench(sf_dir: str, cpus: int) -> dict:
             n = df.count()
             times[name] = round(time.time() - t0, 3)
             _ = n
+            if profile:
+                # formatted physical plan next to the timing, so a plan
+                # regression diffs in review (`git diff .bench/profiles/`)
+                plan = df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted"))
+                with open(os.path.join(prof_dir, f"{name}.txt"), "w") as f:
+                    f.write(f"# {name}  {times[name]}s  sf_dir={sf_dir}\n")
+                    f.write(plan)
         return times
     finally:
         spark.stop()
@@ -532,6 +544,9 @@ def main() -> None:
     ap.add_argument("--dedup-stage", default="full",
                     choices=["full", "canon", "probe"])
     ap.add_argument("--skip-frontier", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="write each headline query's explain(formatted) "
+                         "to .bench/profiles/<name>.txt beside its timing")
     args = ap.parse_args()
     os.makedirs(BENCH_DIR, exist_ok=True)
 
@@ -558,7 +573,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    times = headline_bench(sf_dir, cpus)
+    times = headline_bench(sf_dir, cpus, profile=args.profile)
     frontier = None
     if not args.skip_frontier:
         frontier = _run_child(["--parallelism", str(cpus), "--tmpfs"])
