@@ -40,6 +40,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # experiment passthrough (e.g. the 8→32 contention matrix in
+    # BENCH/APPENDICES.md): ';'-separated key=value pairs, applied LAST so
+    # an experiment can override any default without a code fork
+    for kv in filter(None,
+                     os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
 
 
