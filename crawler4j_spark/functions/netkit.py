@@ -11,6 +11,8 @@
 * ``normalize_anchor``: ``parser/HtmlContentHandler.java:166-173`` — newlines
   and tabs to spaces, trim, cap at 100 chars + ``"..."``.
 * ``has_binary_content`` / ``has_plain_text_content``: ``util/Util.java:68-80``.
+* ``binary_to_text``: deterministic stand-in for Tika's AutoDetectParser →
+  XHTML rendering of a binary payload (``parser/BinaryParseData.java:64-79``).
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ import re
 
 __all__ = [
     "extract_urls",
+    "binary_to_text",
     "normalize_anchor",
     "has_binary_content",
     "has_plain_text_content",
@@ -84,6 +87,41 @@ def has_plain_text_content(content_type: str | None) -> bool:
     return "text" in t and "html" not in t
 
 
+# Tika-equivalent binary text extraction (S8/F10 outlink half).
+#
+# The reference's binary parse path (Parser.java:61-75) renders the raw
+# payload to an HTML string with Tika's AutoDetectParser
+# (BinaryParseData.java:64-79) and then extracts outlinks from that string
+# with the SAME Net.extractUrls regex the plain-text path uses
+# (Parser.java:74) — binary outlinks are "URL-looking character runs that
+# survive the text rendering", not parsed hrefs. Tika is a format zoo we
+# neither can ship here (no jar in the sandbox) nor should re-implement;
+# the contract-preserving analog is strings(1): decode every printable-
+# ASCII run of >= _MIN_PRINTABLE_RUN bytes, newline-joined in payload
+# order. For payload formats that store URLs as plain bytes (PDF URI
+# actions, EXIF/XMP fields, ID3 WXXX frames — the cases Tika surfaces),
+# the URL bytes ARE a printable run, so extract_urls sees the same
+# candidates Tika would expose. A real deployment can swap in tika-python
+# via the same one-string-in/one-string-out seam.
+_MIN_PRINTABLE_RUN = 4  # strings(1) default; shorter runs are format noise
+_PRINTABLE_RUN = re.compile(rb"[\x20-\x7e\t]{%d,}" % _MIN_PRINTABLE_RUN)
+
+
+def binary_to_text(data: bytes | None) -> str:
+    """Printable-ASCII runs of ``data`` in payload order, newline-joined.
+
+    Deterministic Tika-rendering analog for ``BinaryParseData.
+    setBinaryContent`` (parser/BinaryParseData.java:64-79): the returned
+    string plays the role of ``getHtml()`` — input to ``extract_urls``
+    (Parser.java:74). Returns ``''`` for None/empty payloads (Tika parse
+    failure leaves html null → no outlinks, BinaryParseData.java:76-78).
+    """
+    if not data:
+        return ""
+    return "\n".join(
+        m.group().decode("ascii") for m in _PRINTABLE_RUN.finditer(data))
+
+
 # --- X8 charset handling (crawler/Page.java:129-135, parser/Parser.java:
 # 79-82,162-171) ------------------------------------------------------------
 
@@ -133,10 +171,9 @@ def bad_charset_mask(content_types) -> "object":
     import pandas as pd
 
     names = content_types.str.extract(_CHARSET_PARAM, expand=False)
-    mask = pd.Series(False, index=content_types.index)
     present = names.notna()
     if not present.any():
-        return mask
+        return pd.Series(False, index=content_types.index)
     verdict: dict[str, bool] = {}
     for name in names[present].unique():
         n = name.strip()
@@ -145,8 +182,9 @@ def bad_charset_mask(content_types) -> "object":
             verdict[name] = False
         except LookupError:
             verdict[name] = True
-    mask[present] = names[present].map(verdict).astype(bool)
-    return mask
+    # dict.get keeps NaN (no charset param) rows False; building the result
+    # in one pass avoids the partial boolean setitem pandas is deprecating
+    return names.map(lambda n: verdict.get(n, False)).astype(bool)
 
 
 def decode_content(data: bytes | None, charset: str | None) -> str:

@@ -528,6 +528,70 @@ def q_text_url_extract(spark, sf_dir):
         F.posexplode(extract_udf(F.col("text"))).alias("pos", "url"))
 
 
+# S8/F10 binary-outlink fixtures: raw payloads through the REAL
+# binary_to_text (Tika-analog printable-run extraction,
+# BinaryParseData.java:64-79) + extract_urls (Parser.java:74) kernels.
+# Expected rows hand-derived from the two kernels' semantics:
+#   b1 — PNG magic: "PNG" is a 3-byte printable run (< the 4-byte
+#        strings(1) floor) and is dropped; the URL run survives intact;
+#   b2 — PDF /URI action shape: "/URI (" cannot match ("/" prefix needs a
+#        dotted host right after it), the parenthesis is outside the
+#        regex's path class so the match stops at "doc"; the repeated URL
+#        in a later run dedups to first occurrence (HashSet semantics);
+#   b3 — ID3 WXXX frame: bare "www." match is prefixed with "http://"
+#        (Net.java:25-26); the 4-byte "WXXX" run survives but matches
+#        nothing;
+#   b4 — NUL inside the host splits the URL into two runs, neither of
+#        which matches ("exam" has no dot+TLD after the scheme; "/x" has
+#        no host after the "/" prefix): Tika-noise yields nothing;
+#   b5 — printable format noise ("GIF89a") but no URLs: zero rows;
+#   b6 — empty payload = failed Tika parse (html null): zero rows.
+_BINARY_OUTLINK_FIXTURES = [
+    ("b1", b"\x89PNG\r\n\x1a\n\x00\x01http://example.com/logo.png\x00\xff"),
+    ("b2", b"%PDF-1.4\n\x00/URI (http://a.example.org/doc)\x00junk\x00"
+           b"http://b.example.net/x\x00http://a.example.org/doc\x00"),
+    ("b3", b"ID3\x03\x00WXXX\x00www.example.com/track\x00"),
+    ("b4", b"http://exam\x00ple.com/x\x00"),
+    ("b5", b"\x00\x01\x02\x03GIF89a\x00\xff"),
+    ("b6", b""),
+]
+
+_BINARY_OUTLINK_ORACLE = """
+SELECT * FROM (VALUES
+  ('b1', 0, 'http://example.com/logo.png'),
+  ('b2', 0, 'http://a.example.org/doc'),
+  ('b2', 1, 'http://b.example.net/x'),
+  ('b3', 0, 'http://www.example.com/track')
+) AS t(fixture, pos, url)
+"""
+
+
+@register("binary_outlinks", _BINARY_OUTLINK_ORACLE)
+def q_binary_outlinks(spark, sf_dir):
+    """S8/F10 outlink half: the reference's binary parse path renders the
+    payload to text with Tika and extracts outlinks with the SAME URL
+    regex as plain text (Parser.java:61-75); here the deterministic
+    ``binary_to_text`` analog (strings(1)-style printable runs) feeds the
+    ported regex, fixture payloads in, hand-derived literal rows out (the
+    text_url_extract pattern — the kernels have no SQL equivalent)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..functions.netkit import binary_to_text, extract_urls
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def outlinks_udf(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda d: extract_urls(binary_to_text(bytes(d))))
+
+    payloads = spark.createDataFrame(
+        [(f, bytearray(d)) for f, d in _BINARY_OUTLINK_FIXTURES],
+        "fixture string, data binary")
+    return payloads.select(
+        "fixture",
+        F.posexplode(outlinks_udf(F.col("data"))).alias("pos", "url"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators over documents / embeddings / events.
 # These are first-class engine components for the 100 TB use case: dedup

@@ -16,9 +16,15 @@ inside one mapInPandas — the last Python-rate stage on the hot path):
 * plain-text pages: the regex URL extraction (Parser.java:76-91, raw — NOT
   canonicalized) needs the Python kernel; it runs in a mapInPandas over
   only the text-page subset.
-* binary pages emit nothing (Tika path out of scope, SURVEY §"out of
-  scope"); when ``include_binary`` is false they are NotAllowedContent and
-  emit nothing either way.
+* binary pages: with ``process_binary`` (processBinaryContentInCrawling,
+  Parser.java:61-75) the raw payload is rendered to text with the
+  Tika-analog ``binary_to_text`` and outlinks come from the SAME
+  ``extract_urls`` regex as plain text (raw, NOT canonicalized) — a
+  mapInPandas over only the binary subset. With it off, the reference
+  parses ``"<html></html>"`` instead (Parser.java:67), which the regex
+  never matches → no outlinks, so those pages are simply dropped here;
+  when ``include_binary`` is false they are NotAllowedContent and emit
+  nothing either way.
 
 The reference simulator keeps using the pure-Python kernels
 (``functions/spans.outlink_candidates``); the engine↔simulator parity
@@ -52,6 +58,7 @@ from pyspark.sql.types import (
 
 from ..functions.netkit import (
     UnsupportedCharsetError,
+    binary_to_text,
     charset_from_content_type,
     decode_content,
     extract_urls,
@@ -148,9 +155,12 @@ def _html_candidates(pages: DataFrame, max_outlinks: int) -> DataFrame:
     return _as_candidates(deduped)
 
 
-def _text_candidates(pages: DataFrame) -> DataFrame:
-    """Plain-text pages: raw regex URL extraction (NOT canonicalized —
-    Parser.java:76-91) via the Python kernel, over the text subset only."""
+def _regex_candidates(pages: DataFrame, text_of_row) -> DataFrame:
+    """Raw ``extract_urls`` candidates (NOT canonicalized) over a page
+    subset; ``text_of_row(row, has_data) -> str | None`` produces the text
+    to scan (None skips the page). Shared by the plain-text and binary
+    branches — both end at Net.extractUrls in the reference
+    (Parser.java:74, 84)."""
     has_data = "content_data" in pages.columns
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,24 +169,9 @@ def _text_candidates(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                data = getattr(r, "content_data", None) if has_data else None
-                if data is not None:
-                    # X8: new String(contentData, charset from the
-                    # Content-Type header) — Parser.java:79-82,
-                    # Page.java:129-135. The engine pre-routes bad charsets
-                    # to the error channel; guard anyway so direct library
-                    # use degrades to "no outlinks" like fetchContent's
-                    # catch(Exception), not an executor crash.
-                    try:
-                        charset = charset_from_content_type(r.content_type)
-                    except UnsupportedCharsetError:
-                        continue
-                    text = decode_content(bytes(data), charset)
-                else:
-                    text = body_text([
-                        (s["kind"], s["text"], s["media_ref"], s["offset"])
-                        for s in (r.spans if r.spans is not None else [])
-                    ])
+                text = text_of_row(r, has_data)
+                if text is None:
+                    continue
                 for i, raw in enumerate(extract_urls(text)):
                     rows.append((raw, "", "", i, r.docid, r.url,
                                  r.seed_docid, r.depth, r.process_seq))
@@ -199,20 +194,69 @@ def _text_candidates(pages: DataFrame) -> DataFrame:
     return _as_candidates(pages.select(*cols).mapInPandas(gen, schema))
 
 
+def _text_candidates(pages: DataFrame) -> DataFrame:
+    """Plain-text pages: raw regex URL extraction (Parser.java:76-91) via
+    the Python kernel, over the text subset only."""
+
+    def text_of_row(r, has_data):
+        data = getattr(r, "content_data", None) if has_data else None
+        if data is not None:
+            # X8: new String(contentData, charset from the Content-Type
+            # header) — Parser.java:79-82, Page.java:129-135. The engine
+            # pre-routes bad charsets to the error channel; guard anyway so
+            # direct library use degrades to "no outlinks" like
+            # fetchContent's catch(Exception), not an executor crash.
+            try:
+                charset = charset_from_content_type(r.content_type)
+            except UnsupportedCharsetError:
+                return None
+            return decode_content(bytes(data), charset)
+        return body_text([
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in (r.spans if r.spans is not None else [])
+        ])
+
+    return _regex_candidates(pages, text_of_row)
+
+
+def _binary_candidates(pages: DataFrame) -> DataFrame:
+    """Binary pages under processBinaryContentInCrawling
+    (Parser.java:61-75): Tika-analog text rendering (``binary_to_text``)
+    then the same raw regex extraction; pages with no payload behave like
+    a failed Tika parse (html null → no outlinks)."""
+
+    def text_of_row(r, has_data):
+        data = getattr(r, "content_data", None) if has_data else None
+        if data is None:
+            return None
+        return binary_to_text(bytes(data))
+
+    return _regex_candidates(pages, text_of_row)
+
+
 def extract_candidates(
     fetched: DataFrame,
     max_outlinks: int,
     include_binary: bool,
+    process_binary: bool = False,
 ) -> DataFrame:
-    """Candidates of all 200-status pages, in mint order within each page."""
+    """Candidates of all 200-status pages, in mint order within each page.
+
+    ``include_binary`` gates the VISIT of binary pages (handled in the
+    fetch log); ``process_binary`` (processBinaryContentInCrawling) gates
+    whether visited binary pages also contribute outlinks via the
+    Tika-analog rendering (Parser.java:61-75). With it off the reference
+    extracts from ``"<html></html>"`` — zero matches — so binary pages are
+    dropped from this stage entirely, keeping the default plan free of the
+    extra mapInPandas branch."""
     cols = [*_PARENT_COLS, "content_type", "spans"]
     if "content_data" in fetched.columns:  # X8 raw-payload pages
         cols.append("content_data")
     base = fetched.select(*cols)
-    # binary pages contribute no outlinks whether or not they are visited
-    # (include_binary only gates the VISIT, handled in the fetch log;
-    # Tika binary outlinks are out of scope) — drop them here either way.
     html = base.filter(~_is_binary() & ~_is_plain_text())
     text = base.filter(~_is_binary() & _is_plain_text())
-    return _html_candidates(html, max_outlinks).unionByName(
+    out = _html_candidates(html, max_outlinks).unionByName(
         _text_candidates(text))
+    if include_binary and process_binary:
+        out = out.unionByName(_binary_candidates(base.filter(_is_binary())))
+    return out

@@ -810,7 +810,8 @@ class CrawlEngine:
             & ~F.col("bad_charset")  # Page.load failed -> no parse
         )
         outlink_cands = extract_candidates(
-            ok_pages, sim.max_outlinks, sim.include_binary)
+            ok_pages, sim.max_outlinks, sim.include_binary,
+            sim.process_binary)
 
         candidates = outlink_cands
         if redirect_cands is not None:

@@ -25,8 +25,10 @@ Semantics replicated (see SURVEY.md §4 for the full parity decision list):
   (WebCrawler.java:399-430).
 * Plain-text pages: outlinks come from the quirky URL regex and are NOT
   canonicalized (Parser.java:76-91, Net.java:17-34).
-* Binary pages: visited only when include_binary; no outlinks modeled
-  (Parser.java:59-75).
+* Binary pages: visited only when include_binary; outlinks only when
+  process_binary — the Tika rendering is replaced by the deterministic
+  ``binary_to_text`` analog, then the same extractUrls regex
+  (Parser.java:59-75, BinaryParseData.java:64-79).
 * max_pages gates *scheduling* in arrival order (Frontier.java:86-129);
   max_depth gates scheduling but not docid minting.
 * Robots decision incl. the fork's general/specific quirk (see
@@ -41,6 +43,7 @@ from typing import Callable, Optional
 
 from ..functions.netkit import (
     UnsupportedCharsetError,
+    binary_to_text,
     charset_from_content_type,
     decode_content,
     extract_urls,
@@ -380,7 +383,13 @@ class RefSim:
         if has_binary_content(ctype):
             if not self.cfg.include_binary:
                 return  # NotAllowedContentException: no visit, no schedule
-            # binary page: no outlinks modeled (Tika path out of scope)
+            # Parser.java:61-75: with processBinaryContentInCrawling the
+            # payload is Tika-rendered to text (binary_to_text analog) and
+            # outlinks come from the same extractUrls regex; with it off
+            # the rendering is "<html></html>" — zero regex matches.
+            if self.cfg.process_binary and page.content_data is not None:
+                for raw in extract_urls(binary_to_text(page.content_data)):
+                    outlinks.append(_WebUrl(url=raw, tag="", anchor=""))
         elif has_plain_text_content(ctype):
             if page.content_data is not None:
                 # X8: new String(contentData, contentCharset) —

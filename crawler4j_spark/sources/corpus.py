@@ -49,6 +49,12 @@ class CorpusSpec:
     frac_missing_target: float = 0.04  # links to URLs not in the corpus
     frac_private: float = 0.12     # pages under /private/ (robots-gated)
     max_download_size: int = 1048576
+    # Give binary pages a raw payload with URL bytes embedded between
+    # non-printable runs (PDF URI actions / EXIF / ID3 style) so the
+    # process_binary outlink path (Parser.java:61-75) has work to do.
+    # Default OFF: the default corpus stays byte-identical to round 4
+    # (pinned bench metrics + parity fixtures depend on the rng stream).
+    binary_payloads: bool = False
 
 
 @dataclass
@@ -187,9 +193,35 @@ def generate_corpus(spec: CorpusSpec | None = None) -> GeneratedCorpus:
             continue
         if t == "binary":
             ctype = rng.choice(["image/png", "application/pdf", "audio/mpeg"])
+            if not spec.binary_payloads:
+                pages.append(CorpusPage(
+                    url=u, status_code=200, content_type=ctype,
+                    content_length=rng.randrange(1000, 50_000), spans=[]))
+                continue
+            # Deterministic fake payload: format magic + opaque byte noise
+            # with real target URLs stored as plain byte runs (the shape
+            # Tika surfaces from PDF /URI actions, EXIF/XMP, ID3 WXXX).
+            # A crc32-keyed third of binary pages stay payload-less to
+            # cover the Tika-parse-failure branch (html null → no
+            # outlinks, BinaryParseData.java:76-78).
+            if zlib.crc32(b"binpay:" + u.encode()) % 3 == 0:
+                pages.append(CorpusPage(
+                    url=u, status_code=200, content_type=ctype,
+                    content_length=rng.randrange(1000, 50_000), spans=[]))
+                continue
+            magic = {"image/png": b"\x89PNG\r\n\x1a\n",
+                     "application/pdf": b"%PDF-1.4\n",
+                     "audio/mpeg": b"ID3\x03\x00"}[ctype]
+            parts = [magic]
+            for _ in range(rng.randrange(1, 3)):
+                parts.append(bytes(rng.randrange(256) for _ in range(24)))
+                parts.append(b"\x00" + pick_target(host_of[u]).encode()
+                             + b"\x00")
+            parts.append(bytes(rng.randrange(256) for _ in range(16)))
+            data = b"".join(parts)
             pages.append(CorpusPage(
                 url=u, status_code=200, content_type=ctype,
-                content_length=rng.randrange(1000, 50_000), spans=[]))
+                content_length=len(data), spans=[], content_data=data))
             continue
         if t == "text":
             # body text with embedded absolute URLs (regex-extractable)

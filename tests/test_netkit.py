@@ -1,4 +1,5 @@
 from crawler4j_spark.functions.netkit import (
+    binary_to_text,
     extract_urls,
     has_binary_content,
     has_plain_text_content,
@@ -26,6 +27,38 @@ def test_extract_none_and_empty():
     assert extract_urls(None) == []
     assert extract_urls("") == []
     assert extract_urls("no urls here at all") == []
+
+
+# --- binary_to_text: Tika-rendering analog (BinaryParseData.java:64-79) ---
+
+def test_binary_to_text_printable_runs_in_order():
+    data = b"\x89PNG\r\n\x1a\n\x00firstrun\x00\x01second run\xff"
+    # "PNG" is a 3-byte run (< 4 floor) and drops; runs keep payload order
+    assert binary_to_text(data) == "firstrun\nsecond run"
+
+
+def test_binary_to_text_min_run_floor():
+    assert binary_to_text(b"ab\x00cd\x00abcd\x00abcde") == "abcd\nabcde"
+
+
+def test_binary_to_text_tab_is_printable_newline_is_not():
+    # \t stays inside a run; \n splits runs (the join re-inserts one)
+    assert binary_to_text(b"a\tb c\nd e f") == "a\tb c\nd e f"
+    assert binary_to_text(b"w\tx y\x00zzzz") == "w\tx y\nzzzz"
+
+
+def test_binary_to_text_empty_and_none():
+    assert binary_to_text(None) == ""
+    assert binary_to_text(b"") == ""
+    assert binary_to_text(b"\x00\x01\xff") == ""
+
+
+def test_binary_outlinks_end_to_end_kernels():
+    # the parser contract: extract_urls over the rendering (Parser.java:74)
+    data = b"%PDF-1.4\n\x00/URI (http://a.example.org/doc)\x00"
+    assert extract_urls(binary_to_text(data)) == ["http://a.example.org/doc"]
+    # NUL inside the host splits the run: no URL survives
+    assert extract_urls(binary_to_text(b"http://exam\x00ple.com/x")) == []
 
 
 def test_anchor_normalization():

@@ -198,6 +198,32 @@ def test_binary_not_included_by_default():
         "http://a.com/", "http://a.com/i.png"]
 
 
+def test_binary_outlinks_need_process_binary():
+    # Parser.java:61-75: include_binary gates the visit; process_binary
+    # gates the Tika-analog outlink extraction from the raw payload.
+    payload = b"\x89PNG\x00\x00http://a.com/found.html\x00\xff"
+    pages = {
+        "http://a.com/": page("http://a.com/", [("/i.png", None)]),
+        "http://a.com/i.png": CorpusPage(
+            url="http://a.com/i.png", content_type="image/png",
+            content_length=len(payload), content_data=payload),
+        "http://a.com/found.html": page("http://a.com/found.html", []),
+    }
+
+    def crawl(cfg):
+        sim = RefSim(SimCorpus(pages, {}), cfg)
+        sim.add_seed("http://a.com/")
+        sim.crawl()
+        return [v["url"] for v in sim.visited]
+
+    # visited but NOT processed: extractUrls("<html></html>") finds nothing
+    assert crawl(SimConfig(include_binary=True)) == [
+        "http://a.com/", "http://a.com/i.png"]
+    # processed: the payload's URL run is extracted and scheduled
+    assert crawl(SimConfig(include_binary=True, process_binary=True)) == [
+        "http://a.com/", "http://a.com/i.png", "http://a.com/found.html"]
+
+
 def test_seed_end_events():
     sim = RefSim(mini_corpus())
     sim.add_seed("http://a.com/")
