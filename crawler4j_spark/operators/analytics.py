@@ -1026,6 +1026,53 @@ def q_token_topn(spark, sf_dir):
     )
 
 
+@register("quality_perplexity_bucket", _TOKENS_CTE.format(where="") + """
+, counts AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM tokens GROUP BY tok),
+tot AS (SELECT SUM(c) AS t FROM counts),
+scored AS (
+  SELECT tokens.doc_id,
+         ROUND(AVG(-LN(counts.c / tot.t)) + 1e-9, 6) AS nll
+  FROM tokens JOIN counts USING (tok) CROSS JOIN tot
+  GROUP BY tokens.doc_id
+)
+SELECT doc_id, nll,
+       CASE WHEN nll < 3.3998 THEN 'head'
+            WHEN nll < 3.4041 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored
+""")
+def q_quality_perplexity_bucket(spark, sf_dir):
+    """CCNet-style LM-perplexity quality bucketing, with the corpus's own
+    unigram model standing in for the external KenLM: per-document mean
+    negative log-likelihood under p(tok) = count/total, split into
+    head/middle/tail buckets (fixed thresholds ≈ the corpus tertiles; CCNet
+    uses per-language percentiles, which is a one-scalar-aggregate
+    refinement of the same plan).
+
+    Scale shape: one vocab-keyed count shuffle with full map-side combine,
+    one tokens⋈counts shuffle join on ``tok`` (vocab-sized build side —
+    broadcastable when the vocab fits, AQE decides), a 1-row total
+    broadcast, then one doc-keyed average — every exchange is
+    key-partitioned, nothing global. Buckets compare the ROUNDED score in
+    both engines (6 dp + the graph_pagerank 1e-9 nudge) so float summation
+    order can't flip a boundary."""
+    toks = _tokens(spark, sf_dir)
+    counts = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    nll = F.round(F.avg(-F.log(F.col("c") / F.col("t"))) + F.lit(1e-9), 6)
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(nll.alias("nll"))
+    )
+    return scored.select(
+        "doc_id", "nll",
+        F.when(F.col("nll") < 3.3998, "head")
+        .when(F.col("nll") < 3.4041, "middle")
+        .otherwise("tail").alias("bucket"))
+
+
 @register("doc_fingerprint",
           _TOKENS_CTE.format(where="") + _SHINGLES_CTE + """
 SELECT d.doc_id, md5(d.text) AS content_hash,
@@ -2562,3 +2609,47 @@ def q_graph_pagerank(spark, sf_dir):
     )
     return pagerank(edges, n_iter=2).select(
         "node", F.round(F.col("pr") + F.lit(1e-9), 6).alias("pr"))
+
+
+@register("graph_hits_step", """
+WITH edges AS (
+  SELECT DISTINCT o_orderkey % 400 AS src,
+                  (o_orderkey * 7 + o_custkey) % 400 AS dst
+  FROM orders
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+a_sum AS (SELECT dst AS node, COUNT(*) AS a FROM edges GROUP BY dst),
+auth AS (
+  SELECT n.node, CAST(COALESCE(a_sum.a, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN a_sum ON n.node = a_sum.node
+),
+h_sum AS (
+  SELECT e.src AS node, SUM(auth.auth) AS h
+  FROM edges e JOIN auth ON auth.node = e.dst GROUP BY e.src
+)
+SELECT n.node, auth.auth, CAST(COALESCE(h_sum.h, 0) AS BIGINT) AS hub
+FROM nodes n JOIN auth ON auth.node = n.node
+             LEFT JOIN h_sum ON h_sum.node = n.node
+""")
+def q_graph_hits_step(spark, sf_dir):
+    """One HITS power iteration (Kleinberg hubs/authorities — the
+    complementary crawl-authority signal to PageRank: a hub page that
+    links to many authorities is where a crawler harvests frontier mass)
+    through the factored ``operators/graph.hits`` loop over the same
+    synthetic orders-derived link graph as ``graph_pagerank``.
+    Unnormalized, so one iteration from hub=1 is integer-exact: auth =
+    in-degree, hub = Σ auth(out-neighbors) — the oracle states exactly
+    that, and the hash compare is float-free."""
+    from .graph import hits
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 400).alias("src"),
+                ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 400)
+                .alias("dst"))
+        .distinct()
+    )
+    return hits(edges, n_iter=1).select(
+        "node",
+        F.col("auth").cast("long").alias("auth"),
+        F.col("hub").cast("long").alias("hub"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "hits"]
 
 
 def pagerank(
@@ -71,6 +71,54 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,            # (src, dst) directed
+    n_iter: int = 1,
+) -> DataFrame:
+    """Unnormalized HITS power iterations — ``(node, auth, hub)`` doubles
+    from hub init 1.0 (Kleinberg's update order: auth ← Σ hub(in-nbrs),
+    then hub ← Σ auth(out-nbrs) using the NEW auth). Normalization is a
+    per-iteration scalar divide that cancels in any rank-ordering use —
+    the frontier feedback (``CrawlEngine.reprioritize_frontier``) consumes
+    relative order only, so it is omitted and one iteration stays
+    integer-exact.
+
+    Scale shape: per iteration one dst-keyed and one src-keyed
+    shuffle-join+aggregate (full map-side combine), ranks
+    ``localCheckpoint``ed like ``pagerank``; at cluster scale pre-partition
+    ``edges`` by each join key once and every iteration co-locates."""
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("auth"))
+    for _ in range(n_iter):
+        a_sum = (
+            e.join(hub.select(F.col("node").alias("src"),
+                              F.col("hub").alias("_h")), "src")
+            .groupBy("dst").agg(F.sum("_h").alias("_a"))
+            .withColumnRenamed("dst", "node")
+        )
+        auth = (
+            nodes.join(a_sum, "node", "left")
+            .select("node", F.coalesce("_a", F.lit(0.0)).alias("auth"))
+            .localCheckpoint()
+        )
+        h_sum = (
+            e.join(auth.select(F.col("node").alias("dst"),
+                               F.col("auth").alias("_a")), "dst")
+            .groupBy("src").agg(F.sum("_a").alias("_h"))
+            .withColumnRenamed("src", "node")
+        )
+        hub = (
+            nodes.join(h_sum, "node", "left")
+            .select("node", F.coalesce("_h", F.lit(0.0)).alias("hub"))
+            .localCheckpoint()
+        )
+    return auth.join(hub, "node")
 
 #: With pointer doubling, rounds ~ log2(diameter) + a small constant; 64
 #: covers any graph that fits on hardware. Hitting it raises rather than

@@ -160,6 +160,17 @@ class EngineConfig:
     # (False forces the single-window form, for A/B checks only).
     exact_claim: bool = True
     dense_seq_distributed: bool | None = None
+    # Authority feedback cadence (OPIC/PageRank frontier ordering): every
+    # K completed rounds, recompute host PageRank over the observed link
+    # graph (host_link_edges) and fold it into the pending frontier's
+    # priority column (reprioritize_frontier). None = off — reference
+    # parity, where the priority byte is user-set only
+    # (url/WebURL.java:255-263). The rewrite runs BETWEEN rounds at this
+    # maintenance cadence, never per round (see reprioritize_frontier's
+    # scale note).
+    authority_every: int | None = None
+    authority_iters: int = 3
+    authority_scale: float = 8.0
     # J4 robots TTL on the engine's virtual clock. The default replicates
     # the fork's HostDirectives.java:28 bug — 24*60*1000L is 24 MINUTES
     # (the comment claims 24 hours). Use 24*3600*1000 for the intended
@@ -1100,6 +1111,15 @@ class CrawlEngine:
             if not m:
                 break
             out.append(m)
+            every = self.cfg.authority_every
+            if (every and self.round % every == 0
+                    and self.frontier_pending() > 0):
+                from ..operators.graph import pagerank
+                ranks = pagerank(self.host_link_edges(),
+                                 n_iter=self.cfg.authority_iters)
+                self.reprioritize_frontier(
+                    ranks.withColumnRenamed("node", "host"),
+                    scale=self.cfg.authority_scale)
             if self.round % 5 == 0:
                 # sweep per-round staging temps + files dereferenced by
                 # frontier/bloom replacements (only the current snapshot

@@ -64,3 +64,25 @@ def test_matches_union_find(spark, edges):
     want = union_find(edges)
     got, _ = run_cc(spark, edges)
     assert got == want
+
+
+def hits_model(edges, n_iter):
+    """Reference implementation of the unnormalized HITS update order."""
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+    for _ in range(n_iter):
+        auth = {n: sum(hub[s] for s, d in edges if d == n) for n in nodes}
+        hub = {n: sum(auth[d] for s, d in edges if s == n) for n in nodes}
+    return auth, hub
+
+
+def test_hits_matches_model_two_iterations(spark):
+    from crawler4j_spark.operators.graph import hits
+
+    #      1 -> 3 <- 2 ;  3 -> 4 ;  1 -> 4  (1 is the hub, 3/4 authorities)
+    edges = [(1, 3), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in hits(df, n_iter=2).collect()}
+    want_auth, want_hub = hits_model(edges, 2)
+    assert got == {n: (want_auth[n], want_hub[n]) for n in want_auth}

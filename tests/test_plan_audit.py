@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "ann_ivf_probe",        # k-row centroid + 1-row probe vector
     "ann_ivf_probe_multi",  # k-row centroid + 1-row probe + 3-row cell set
     "ann_kmeans_step",      # k-row centroid table broadcast (assignment half)
+    "quality_perplexity_bucket",  # 1-row corpus-total broadcast
 }
 
 # Single-partition exchanges allowed only where the partition is bounded by
@@ -40,6 +41,10 @@ SINGLE_PARTITION_OK = {
     # mint, operators/mint.py, which this demo deliberately mirrors in its
     # reference-sequential form)
     "seed_pipeline",
+    # the corpus-total scalar: partial sums map-side, the single partition
+    # receives exactly one row per upstream partition (bounded by P, not
+    # by data volume) and emits the 1-row broadcast total
+    "quality_perplexity_bucket",
 }
 
 

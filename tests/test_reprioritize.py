@@ -105,3 +105,39 @@ def test_synthetic_rank_promotes_host(spark, tmp_path):
                             & (F.col("host") == favored)).count())
     assert favored in claimed_hosts
     assert n_favored >= 3
+
+
+def test_authority_every_knob_drives_feedback_in_crawl(spark, tmp_path):
+    """EngineConfig.authority_every wires the pagerank→priority loop into
+    crawl() itself: with UNBOUNDED depth (a depth cap makes reachability
+    order-dependent — a URL first minted at a gated depth is seen forever,
+    so reordering legitimately changes the visited SET), the knob must
+    reorder the visit sequence while draining to the identical visited and
+    seen sets."""
+    gen = generate_corpus(CorpusSpec(n_pages=120, n_hosts=6, seed=1))
+    corpus_df, robots_df = make_corpus_dfs(spark, gen)
+
+    def drain(name, **extra):
+        cfg = EngineConfig(
+            sim=SimConfig(max_depth=-1, politeness_ms=200),
+            round_size=10, n_seen_buckets=8,
+            expected_urls_per_bucket=2000, mint_buckets=4, **extra)
+        eng = CrawlEngine(spark, str(tmp_path / name), corpus_df,
+                          robots_df, cfg)
+        eng.add_seeds(gen.seeds)
+        eng.crawl(max_rounds=100)
+        return eng
+
+    base = drain("base")
+    auth = drain("auth", authority_every=1, authority_iters=2)
+
+    base_visits = [(r.url, r.round) for r in
+                   base.visited_log().select("url", "round").collect()]
+    auth_visits = [(r.url, r.round) for r in
+                   auth.visited_log().select("url", "round").collect()]
+    assert {u for u, _ in base_visits} == {u for u, _ in auth_visits}
+    assert base_visits != auth_visits, \
+        "authority feedback produced no reordering on this corpus"
+    assert auth.frontier_pending() == 0
+    assert auth.processed_pages == base.processed_pages
+    assert set(auth.seen_map()) == set(base.seen_map())
