@@ -662,6 +662,112 @@ class CrawlEngine:
                           props=self._props())
         return sum(e["rows"] for e in entries)
 
+    def reschedule(self, urls, priority: int = 0) -> int:
+        """Freshness re-crawl (extension — the reference NEVER revisits:
+        DocIDServer.isSeenBefore makes assignUrl reject every seen URL, so
+        crawler4j has no recrawl story): re-insert already-seen URLs into
+        the pending frontier under their EXISTING docids. ``urls`` is a
+        list of canonical URL strings or a DataFrame with a ``url`` column
+        (e.g. a filtered ``visited_log()`` — dump-scale inputs stay
+        distributed end-to-end). Unknown URLs are ignored (only seen URLs
+        have a docid to revisit); URLs already pending keep their single
+        frontier row (J3). Depth and seed lineage carry over from the last
+        visit; never-visited seen URLs (gated at schedule time) fall back
+        to depth 0 / own-docid lineage. Returns the number of rows
+        re-inserted.
+
+        The re-fetch flows through the normal round loop — politeness,
+        robots, claim order — and appends NEW fetch_log/documents rows
+        (the visit history keeps both fetches). Seen/docid state is
+        untouched: recrawled pages mint docids only for genuinely new
+        outlinks. Seed-offspring accounting: the kind=seed slice is merged
+        (+n per seed) so ``cnt`` stays equal to live pending rows; a seed
+        whose end event already fired keeps its ``ended_round`` stamp
+        (exactly-once emission is preserved — recrawl does not re-end it).
+
+        Scale shape: two url-keyed joins (seen lookup, pending anti-join),
+        one docid-keyed window over the fetch log for the last visit, one
+        frontier append with fresh claim stats — a maintenance operation
+        between rounds, like ``reprioritize_frontier``."""
+        from pyspark.sql import Window
+
+        if isinstance(urls, (list, tuple)):
+            urls_df = self.spark.createDataFrame(
+                [(u,) for u in urls], "url string")
+        else:
+            urls_df = urls.select("url")
+        seen = self._read("seen")
+        if seen is None:
+            return 0
+        cand = urls_df.distinct().join(seen.select("url", "docid"), "url")
+        frontier = self._read("frontier")
+        if frontier is not None:
+            cand = cand.join(frontier.select("url"), "url", "left_anti")
+        log = self.store.read("fetch_log", merge_schema=True)
+        if log is not None:
+            w_last = Window.partitionBy("docid").orderBy(
+                F.desc("round"), F.desc("process_seq"))
+            last = (
+                log.select("docid", "depth", "seed_docid", "round",
+                           "process_seq")
+                .withColumn("_rn", F.row_number().over(w_last))
+                .filter(F.col("_rn") == 1)
+                .select("docid", F.col("depth").alias("_depth"),
+                        F.col("seed_docid").alias("_seed"))
+            )
+            cand = cand.join(last, "docid", "left")
+        else:
+            cand = (cand
+                    .withColumn("_depth", F.lit(None).cast("int"))
+                    .withColumn("_seed", F.lit(None).cast("long")))
+        rows = cand.select(
+            "url", "docid",
+            F.lit(-1).cast("long").alias("parent_docid"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.coalesce(F.col("_seed"), F.col("docid")).alias("seed_docid"),
+            F.coalesce(F.col("_depth"), F.lit(0)).cast("int").alias("depth"),
+            F.lit(int(priority)).cast("int").alias("priority"),
+            F.lit("").alias("anchor"), F.lit("").alias("tag"),
+            host_udf(F.col("url")).alias("host"),
+        )
+        entries = self.store.stage_dataframe(
+            rows, stats_cols=["priority", "depth", "docid"])
+        n = sum(e["rows"] for e in entries)
+        if n == 0:
+            return 0
+        # merge +cnt into the kind=seed slice; REPLACE round_state so the
+        # one-row-per-seed invariant of the delta maintenance holds
+        delta = (self.store.read("frontier", files=entries)
+                 .groupBy("seed_docid")
+                 .agg(F.count("*").cast("long").alias("_add")))
+        old_counts = self._seed_counts_view()
+        if old_counts is None:
+            old_counts = self.spark.createDataFrame(
+                [], "seed_docid long, cnt long, ended_round int")
+        merged_seed = (
+            old_counts.join(delta, "seed_docid", "outer")
+            .select("seed_docid",
+                    (F.coalesce(F.col("cnt"), F.lit(0))
+                     + F.coalesce(F.col("_add"), F.lit(0))).alias("cnt"),
+                    F.col("ended_round"))
+        )
+        rs = self.store.read("round_state")
+        rs_parts = _rs_align(merged_seed, "seed")
+        if rs is not None:
+            rs_parts = rs.filter(F.col("kind") != "seed").unionByName(
+                rs_parts)
+        rs_entries = self.store.stage_dataframe(rs_parts)
+        replaces = {"round_state": rs_entries}
+        # a resumed pre-merge store: fold legacy tables like run_round does
+        tables_now = self.store.manifest().get("tables", {})
+        for legacy in ("host_state", "seed_counts"):
+            if legacy in tables_now:
+                replaces[legacy] = []
+        self.scheduled_pages += n  # before _props() so a resume keeps it
+        self.store.commit(adds={"frontier": entries}, replaces=replaces,
+                          props=self._props())
+        return n
+
     # ---------------------------------------------------------------- round
 
     def frontier_pending(self) -> int:
