@@ -93,8 +93,7 @@ def canonicalize_with_context_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.S
     return canonicalize_batch(hrefs, contexts)
 
 
-@F.pandas_udf(StringType())
-def outlink_canonical_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+def outlink_canonical_batch(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
     """The parse stage's per-href Python work, batched: strip + junk filter
     (Parser.java:138-144, same predicate as functions.spans.link_hrefs —
     pandas .str ops have exact Python-string semantics, so engine and
@@ -114,6 +113,11 @@ def outlink_canonical_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
     out = canonicalize_batch(s, contexts)
     out[junk] = None
     return out
+
+
+@F.pandas_udf(StringType())
+def outlink_canonical_udf(hrefs: pd.Series, contexts: pd.Series) -> pd.Series:
+    return outlink_canonical_batch(hrefs, contexts)
 
 
 @F.pandas_udf(StringType())

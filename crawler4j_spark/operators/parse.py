@@ -1,18 +1,20 @@
 """Parse stage: fetched pages → ordered outlink candidates.
 
 Replaces the reference's per-thread ``Parser.parse`` + outlink loop
-(``parser/Parser.java:59-175``, ``crawler/WebCrawler.java:464-479``) with a
-DataFrame-native pipeline (round 4; rounds 1-3 ran a per-row Python loop
-inside one mapInPandas — the last Python-rate stage on the hot path):
+(``parser/Parser.java:59-175``, ``crawler/WebCrawler.java:464-479``):
 
-* HTML pages: ``posexplode(spans)`` + LINK_KINDS/null filtering run
-  JVM-side; ONE Arrow-batched pandas UDF (``outlink_canonical_udf``) does
-  the per-href Python work — strip + junk filter + canonicalize, with the
-  C-speed ``_CANONICAL_FAST`` prescreen; the reference's outlink-cap
-  counting (``urlCount++; if (urlCount > max) break;`` — the max+1
-  off-by-one, Parser.java:152-155), within-page first-occurrence dedup and
-  ``within_order`` assignment are window functions over ONE hash shuffle on
-  the page docid. Whole-stage codegen covers everything but the UDF.
+* HTML pages: ONE shuffle-free ``mapInArrow`` with every kernel
+  vectorized (see ``_html_candidates``). A page's spans arrive grouped in
+  its row, so per-page cap/dedup/order need no exchange; the spans
+  ListArray flattens to per-field Arrow arrays, the cap
+  (``urlCount++; if (urlCount > max) break;`` — the max+1 off-by-one,
+  Parser.java:152-155) is a groupby-cumsum, dedup/within_order are
+  ``duplicated``/``cumcount``, and the only per-element Python is the
+  canonicalize slow path behind the ``_CANONICAL_FAST`` prescreen.
+  (History: rounds 1-3 ran a per-row Python loop; round 5 briefly used
+  posexplode + windows over a docid hash shuffle, which re-grouped rows
+  that were never ungrouped and measured ~75% slower at the default
+  bench spec.)
 * plain-text pages: the regex URL extraction (Parser.java:76-91, raw — NOT
   canonicalized) needs the Python kernel; it runs in a mapInPandas over
   only the text-page subset.
@@ -32,7 +34,7 @@ suite (tests/test_engine_parity.py) is the proof the two formulations
 agree. The junk-filter/cap/dedup predicates here mirror
 ``functions/spans.link_hrefs``/``candidates_from_canonical`` line for
 line; the strip/lower/contains pieces run with exact Python string
-semantics inside the pandas UDF, not as JVM approximations.
+semantics inside the Arrow batch kernel, not as JVM approximations.
 
 Input rows (one per fetched 200-page): url, docid, depth, seed_docid,
 process_seq, content_type, spans.
@@ -46,7 +48,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -64,7 +66,7 @@ from ..functions.netkit import (
     extract_urls,
 )
 from ..functions.spans import LINK_KINDS, body_text
-from ..functions.udfs import outlink_canonical_udf
+from ..functions.udfs import outlink_canonical_batch
 
 __all__ = ["extract_candidates", "CANDIDATE_SCHEMA"]
 
@@ -107,52 +109,131 @@ def _as_candidates(df: DataFrame) -> DataFrame:
     )
 
 
-def _html_candidates(pages: DataFrame, max_outlinks: int) -> DataFrame:
-    """The hot path, JVM-side except one vectorized canonicalize UDF."""
-    spans = (
-        pages
-        .select(*_PARENT_COLS,
-                F.posexplode("spans").alias("pos", "span"))
-        .select(*_PARENT_COLS, "pos",
-                F.col("span.kind").alias("kind"),
-                F.col("span.text").alias("text"),
-                F.col("span.media_ref").alias("media_ref"),
-                F.col("span.offset").alias("offset"))
-        .filter(F.col("kind").isin(list(LINK_KINDS))
-                & F.col("media_ref").isNotNull())
-    )
-    # strip + junk + canonicalize in one Arrow batch; NULL = skipped row
-    # (junk or canonicalize failure — neither counts toward the cap)
-    cands = spans.withColumn(
-        "cand_url", outlink_canonical_udf(F.col("media_ref"), F.col("url")))
+_CANDIDATE_ARROW_SCHEMA = None  # built lazily (pyarrow import)
 
-    # Document order within a page = (offset, pos): the kernel's
-    # sorted(key=offset) is a STABLE sort, so array position breaks ties.
-    # All three windows share one hash partitioning on the page docid —
-    # one shuffle, bounded by the round's candidate count.
-    order = [F.col("offset"), F.col("pos")]
-    w_cum = (Window.partitionBy("docid").orderBy(*order)
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    # count() skips nulls: cum == the reference's urlCount AFTER this row.
-    # Keep rows with cum <= max+1 — the row reaching max+1 is processed and
-    # THEN the loop breaks (the reference's off-by-one).
-    capped = (
-        cands
-        .withColumn("cum", F.count("cand_url").over(w_cum))
-        .filter(F.col("cand_url").isNotNull()
-                & (F.col("cum") <= max_outlinks + 1))
-    )
-    w_first = Window.partitionBy("docid", "cand_url").orderBy(*order)
-    w_order = Window.partitionBy("docid").orderBy(*order)
-    deduped = (
-        capped
-        .withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .withColumn("within_order", F.row_number().over(w_order) - 1)
-        .withColumn("tag", F.col("kind"))
-        .withColumn("anchor", F.coalesce(F.col("text"), F.lit("")))
-    )
-    return _as_candidates(deduped)
+
+def _candidate_arrow_schema():
+    import pyarrow as pa
+
+    global _CANDIDATE_ARROW_SCHEMA
+    if _CANDIDATE_ARROW_SCHEMA is None:
+        _CANDIDATE_ARROW_SCHEMA = pa.schema([
+            ("url", pa.string()),
+            ("tag", pa.string()),
+            ("anchor", pa.string()),
+            ("within_order", pa.int32()),
+            ("parent_docid", pa.int64()),
+            ("parent_url", pa.string()),
+            ("seed_docid", pa.int64()),
+            ("parent_depth", pa.int32()),
+            ("process_seq", pa.int64()),
+        ])
+    return _CANDIDATE_ARROW_SCHEMA
+
+
+def _html_candidates(pages: DataFrame, max_outlinks: int) -> DataFrame:
+    """The hot path: one ``mapInArrow`` with every kernel vectorized.
+
+    A page's spans arrive GROUPED in its own row, so the per-page
+    cap/dedup/order semantics need no grouping shuffle at all (the
+    round-5 window formulation re-grouped by docid through an exchange +
+    three in-partition sorts and measured ~75% slower at the default
+    bench spec; this version is embarrassingly page-parallel — the right
+    shape at any scale). Python-rate work is gone too: the spans
+    ListArray flattens to per-field Arrow arrays (no dict-per-span
+    materialization), parent columns replicate with ``np.repeat``, the
+    cap is a groupby-cumsum, the within-page first-occurrence dedup is
+    ``DataFrame.duplicated``, and ``within_order`` is a groupby-cumcount
+    — all C-speed; the only per-element Python left is the canonicalize
+    slow path behind the ``_CANONICAL_FAST`` prescreen.
+
+    Exact reference semantics (Parser.java:138-155, WebCrawler.java:
+    464-479): document order = (offset, array position) stable sort; only
+    non-null canonicals count toward the cap; the row reaching max+1 is
+    processed and THEN the loop breaks (the off-by-one); first occurrence
+    wins the within-page dedup; ``within_order`` numbers the kept rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    kinds = list(LINK_KINDS)
+    schema_out = _candidate_arrow_schema()
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            lc = batch.column(batch.schema.get_field_index("spans"))
+            if isinstance(lc, pa.ChunkedArray):
+                lc = lc.combine_chunks()
+            lengths = lc.value_lengths().fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            total = int(lengths.sum())
+            if total == 0:
+                continue
+            flat = lc.flatten()
+            pdf = pd.DataFrame({
+                "kind": flat.field("kind").to_pandas(),
+                "text": flat.field("text").to_pandas(),
+                "media_ref": flat.field("media_ref").to_pandas(),
+                "offset": flat.field("offset").to_pandas(),
+            })
+            # per-span array position (pos) without a Python loop
+            starts = np.cumsum(lengths) - lengths
+            pdf["pos"] = np.arange(total) - np.repeat(starts, lengths)
+            pdf["page"] = np.repeat(np.arange(len(lengths)), lengths)
+
+            keep = pdf["kind"].isin(kinds) & pdf["media_ref"].notna()
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
+            # parent context for canonicalize + output columns
+            def parent(name):
+                col = batch.column(batch.schema.get_field_index(name))
+                return col.to_numpy(zero_copy_only=False)[pdf["page"]]
+            pdf = pdf.assign(parent_url=parent("url"))
+
+            # document order = (offset, pos) per page; lexsort is stable
+            order = np.lexsort(
+                (pdf["pos"].to_numpy(), pdf["offset"].to_numpy(),
+                 pdf["page"].to_numpy()))
+            pdf = pdf.iloc[order]
+
+            pdf["cand_url"] = outlink_canonical_batch(
+                pdf["media_ref"], pdf["parent_url"])
+            ok = pdf["cand_url"].notna()
+            cum = ok.astype("int64").groupby(
+                pdf["page"].to_numpy()).cumsum()
+            pdf = pdf[ok & (cum <= max_outlinks + 1)]
+            if pdf.empty:
+                continue
+            pdf = pdf[~pdf.duplicated(["page", "cand_url"])]
+            within = pdf.groupby(pdf["page"].to_numpy()).cumcount()
+
+            pages_idx = pdf["page"].to_numpy()
+            out = {
+                "url": pdf["cand_url"].to_numpy(),
+                "tag": pdf["kind"].to_numpy(),
+                "anchor": pdf["text"].fillna("").to_numpy(),
+                "within_order": within.to_numpy().astype("int32"),
+                "parent_docid": batch.column(
+                    batch.schema.get_field_index("docid"))
+                    .to_numpy(zero_copy_only=False)[pages_idx],
+                "parent_url": pdf["parent_url"].to_numpy(),
+                "seed_docid": batch.column(
+                    batch.schema.get_field_index("seed_docid"))
+                    .to_numpy(zero_copy_only=False)[pages_idx],
+                "parent_depth": batch.column(
+                    batch.schema.get_field_index("depth"))
+                    .to_numpy(zero_copy_only=False)[pages_idx]
+                    .astype("int32"),
+                "process_seq": batch.column(
+                    batch.schema.get_field_index("process_seq"))
+                    .to_numpy(zero_copy_only=False)[pages_idx],
+            }
+            yield pa.RecordBatch.from_pydict(out, schema=schema_out)
+
+    return pages.select(*_PARENT_COLS, "spans").mapInArrow(
+        gen, CANDIDATE_SCHEMA)
 
 
 def _regex_candidates(pages: DataFrame, text_of_row) -> DataFrame:
