@@ -1305,6 +1305,47 @@ def q_token_budget_pack(spark, sf_dir):
 # --- events (streaming analogs) --------------------------------------------
 
 
+@register("recrawl_due", """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS span_us,
+       EPOCH_US(MAX(ts))
+         + (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // (COUNT(*) - 1)
+         AS next_due_us
+FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+""")
+def q_recrawl_due(spark, sf_dir):
+    """Freshness scheduling: per-key change-rate estimate → next re-crawl
+    due time (the signal that feeds ``CrawlEngine.reschedule``; the
+    reference never revisits, so this is the at-scale extension's other
+    half). Treating each ``events`` key as a page's observed change log,
+    the mean inter-change interval predicts the next change:
+    next_due = last_change + span/(n-1) — the uniform-rate (Poisson MLE)
+    estimator crawl freshness papers start from.
+
+    Scale shape: ONE key-partitioned aggregation with full map-side
+    combine; arithmetic on integer microseconds end-to-end (unix_micros /
+    EPOCH_US + integer division) so the two engines hash identically —
+    no float rounding anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so the
+    # cast is offset-free and matches DuckDB's EPOCH_US on the naive value
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("_first_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("_last_us"))
+    span = F.col("_last_us") - F.col("_first_us")
+    return (
+        agg.filter(F.col("n_obs") >= 2)
+        .select(
+            "user_id", "n_obs",
+            span.alias("span_us"),
+            (F.col("_last_us")
+             + F.expr("div(_last_us - _first_us, n_obs - 1)"))
+            .alias("next_due_us"))
+    )
+
+
 @register("events_tumbling", """
 SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
        event_type,
