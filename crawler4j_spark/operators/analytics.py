@@ -44,6 +44,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str = None) -> DataFrame:
+    """Repartition to the session's shuffle parallelism right after a scan.
+
+    The test tables are SINGLE-ROW-GROUP parquet files, and a parquet
+    split below row-group granularity yields no rows — so however many
+    splits the scan is given, every row lands in one task and all compute
+    stacked on the scan (explode, md5, dot products, Python stages) runs
+    on ONE core (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read"). One tiny exchange of the
+    base rows unlocks full-width parallelism for the expensive work
+    above it. With ``key`` the exchange is HASH partitioning — unlike
+    keyless round-robin it pays no sort-before-repartition on the (serial)
+    map side and is retry-deterministic; high-cardinality ids spread
+    evenly (guide §2.5). Partition count follows
+    spark.sql.shuffle.partitions (scale-adaptive — never a hard-coded
+    core count); on a real multi-file table the repartition stays a
+    harmless rebalance, and callers with cheap per-row work skip it."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if key is not None:
+        return df.repartition(n, F.col(key))
+    return df.repartition(n)
+
+
 def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic frontier from orders (same derivation as the oracle CTE)."""
     return _t(spark, sf_dir, "orders").select(
@@ -153,18 +176,23 @@ WHERE l_partkey % 3 = 0
 def q_seen_antijoin(spark, sf_dir):
     """J1: URL-seen dedup as a LEFT ANTI join (the engine adds a bloom
     pre-filter; operators/seen_filter.py). Ref: DocIDServer.java:87-99."""
+    # Round-6 order (guide §2.3 "shuffle fewer bytes"): the broadcast
+    # anti-join runs BEFORE the distinct, so the distinct's exchange
+    # carries only the keys that survive the seen-filter (~half), instead
+    # of deduplicating everything and then dropping half of it. Anti-join
+    # is a per-row key-membership filter, so it commutes with distinct —
+    # identical result set.
     cand = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 3 == 0)
         .select(F.col("l_orderkey").alias("url_key"))
-        .distinct()
     )
     seen = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
         .select(F.col("o_orderkey").alias("url_key"))
     )
-    return cand.join(seen, "url_key", "left_anti")
+    return cand.join(seen, "url_key", "left_anti").distinct()
 
 
 @register("frontier_key_dedup", """
@@ -601,11 +629,22 @@ def q_binary_outlinks(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _tokens(spark, sf_dir, max_doc=None):
-    """(doc_id, tok, pos) via posexplode — shared by the text pipeline."""
+def _tokens(spark, sf_dir, max_doc=None, spread=False):
+    """(doc_id, tok, pos) via posexplode — shared by the text pipeline.
+
+    ``spread=True`` hash-exchanges the doc rows by doc_id BEFORE the
+    explode (single-row-group input, guide §2.5): the explode multiplies
+    rows ~100x, so exchanging the base rows is far cheaper than any
+    exchange above, and doc-keyed windows/groupBys downstream reuse the
+    partitioning (no further exchange). Callers whose per-token work is
+    heavy (shingle+md5 pipelines) want it; for cheap token counting the
+    extra exchange costs more than the serial explode it parallelizes
+    (measured: token_topn 0.47 s no-spread vs 0.78 s spread at sf1.0)."""
     docs = _t(spark, sf_dir, "documents")
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
+    if spread:
+        docs = _spread(spark, docs, "doc_id")
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
 
@@ -634,8 +673,15 @@ _SHINGLES_CTE = """
 
 
 def _shingles(spark, sf_dir, max_doc=None):
-    """3-token shingles in document order (both dedup families share this)."""
-    toks = _tokens(spark, sf_dir, max_doc)
+    """3-token shingles in document order (both dedup families share this).
+
+    Round-6 (guide §2.4/§2.5): tokens are spread by doc_id BEFORE the
+    explode, so this window and every doc-keyed aggregation above it
+    reuse that hash distribution — the exploded token stream itself is
+    never exchanged (the r5 plan exchanged all tokens here), and the
+    heavy md5 work of the dedup family runs on every core instead of
+    the single task an unsplittable input file allows."""
+    toks = _tokens(spark, sf_dir, max_doc, spread=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         toks.withColumn("t1", F.lead("tok", 1).over(w))
@@ -686,15 +732,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → 8 salted minhashes → 4 bands × 2 rows
     → band-bucket grouping. Buckets with n_docs ≥ 2 are candidate near-dup
     sets; the string-minhash (min over md5 hex ordering) is engine-portable.
-    At scale the band join replaces the O(n²) pairwise comparison."""
+    At scale the band join replaces the O(n²) pairwise comparison.
+
+    Round-6 shape (guide §2.4/§2.5): the doc rows are hash-exchanged by
+    doc_id BEFORE the token explode (inside ``_shingles``), so the window
+    lead() AND this groupBy reuse that distribution — the r5 plan
+    exchanged the ~100x-larger exploded token stream here instead, and
+    on the single-row-group test input everything below that exchange
+    ran on one core. The per-doc minhashes stay codegen'd min()
+    aggregates with map-side partial combine. (Two rejected A/B'd
+    variants: per-row array_min(transform(md5)) per salt — 3.7x slower,
+    lambda bodies evaluate interpreted while min/md5 aggregates are
+    codegen'd; arrays_zip-of-slices shingling — equal best-case speed
+    but allocation-heavier, worse GC spikes.)"""
     sh = _shingles(spark, sf_dir)
-    # All 8 salted minhashes as conditional aggregates of ONE groupBy(doc_id)
-    # — no crossJoin(salts) 8x row blowup before the shuffle, no second
-    # per-(doc_id, band) shuffle for the band pivot (the round-1 shape paid
-    # both, plus a collect_list+array_sort per band). Shuffle bytes drop 8x
-    # on the first exchange and the plan goes 3 exchanges -> 2.
     mh = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))))
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))))
         .alias(f"m{s}")
         for s in range(8)
     ])
@@ -733,16 +786,25 @@ def q_dedup_simhash(spark, sf_dir):
     bit of the token hashes. Near-dups share low-Hamming signatures; the
     signature is grouping-key material at scale (no pairwise pass).
 
-    Scale shape: ONE hash aggregation over the token stream — all 16 bit
-    votes are parallel conditional-sum aggregates in the same groupBy (full
-    map-side combine), not a 16× crossJoin row explosion."""
-    toks = _tokens(spark, sf_dir, max_doc=200).select("doc_id", "tok").distinct()
-    hashed = toks.select(
+    Round-6 shape (guide §2.4): the per-doc distinct-token set is
+    array_distinct over the split array and every bit vote is a per-row
+    array aggregate — the plan has ZERO exchanges (the old explode →
+    distinct → groupBy paid two). The token hash is computed once per
+    distinct token into an array column; 16 aggregates fold it into the
+    bit votes; vote v_b > 0 ⟺ 2*ones_b > n_tokens (identical majority)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("tset"))
+    )
+    hashed = docs.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h"))
-    votes = hashed.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
-        .alias(f"v{b}")
+        F.expr("transform(tset, t ->"
+               " cast(conv(substring(md5(t), 1, 4), 16, 10) as int))")
+        .alias("hs"))
+    votes = hashed.select("doc_id", *[
+        F.expr(f"aggregate(hs, 0, (acc, h) ->"
+               f" acc + if(((h >> {b}) & 1) = 1, 1, -1))").alias(f"v{b}")
         for b in range(16)
     ])
     sig = None
@@ -845,16 +907,24 @@ def q_embedding_topk(spark, sf_dir):
     JVM-side zip_with/aggregate dot products, TakeOrderedAndProject top-k.
     The scale path is the LSH-bucketed variant (ann_lsh_buckets)."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # Round-6: the query vector's norm is computed ONCE in the broadcast
+    # row (sqrt(qv·qv) is constant per probe row; the old plan re-ran that
+    # dot per embedding). Same expression tree per row otherwise — the
+    # float result is bit-identical, only evaluated 1× instead of N×.
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"))
+    )
     return (
-        emb.filter(F.col("vec_id") != 0)
+        _spread(spark, emb.filter(F.col("vec_id") != 0), "vec_id")
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id", "label",
             F.round(
                 _dot(F.col("embedding"), F.col("qv"))
                 / (F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                   * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6)
+                   * F.col("qn")), 6)
             .alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(20)
@@ -917,18 +987,30 @@ def q_ann_lsh_buckets(spark, sf_dir):
     search = probe the query's bucket (and neighbors) only. Hyperplanes are
     taken deterministically from the data (vec_id 1..8) to stay hermetic."""
     emb = _t(spark, sf_dir, "embeddings")
-    planes = (
+    # Round-6 shape (guide §2.4/§3.1): ALL 8 hyperplanes ride in ONE
+    # broadcast row as an array of (plane_id, pv) structs; the bucket is a
+    # per-row aggregate over that array — no 8× crossJoin row blowup and
+    # no groupBy(vec_id) exchange (the old plan paid both). The only
+    # exchange left is the final 256-bucket groupBy. The size>0 filter
+    # preserves the empty-planes ⇒ empty-result semantics of the cross
+    # join (aggregate over [] would otherwise emit bucket 0 per vec).
+    planes_row = (
         emb.filter(F.col("vec_id").between(1, 8))
-        .select(F.col("vec_id").alias("plane_id"),
-                F.col("embedding").alias("pv"))
+        .agg(F.collect_list(
+            F.struct(
+                F.expr("shiftleft(1, cast(vec_id - 1 as int))").cast("long")
+                .alias("weight"),
+                F.col("embedding").alias("pv"))).alias("planes"))
     )
     signs = (
-        emb.crossJoin(F.broadcast(planes))
-        .groupBy("vec_id")
-        .agg(F.sum(
-            F.when(_dot(F.col("embedding"), F.col("pv")) > 0,
-                   F.expr("shiftleft(1, cast(plane_id - 1 as int))"))
-            .otherwise(0)).alias("bucket"))
+        _spread(spark, emb, "vec_id").crossJoin(F.broadcast(planes_row))
+        .filter(F.size("planes") > 0)
+        .select("vec_id", F.aggregate(
+            "planes", F.lit(0).cast("long"),
+            lambda acc, p: acc + F.when(
+                _dot(F.col("embedding"), p["pv"]) > 0,
+                p["weight"]).otherwise(F.lit(0).cast("long")),
+        ).alias("bucket"))
     )
     return (
         signs.groupBy(F.col("bucket").cast("long").alias("bucket"))
@@ -1430,17 +1512,22 @@ FROM documents
 """)
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: an opaque binary payload column flows through an
-    Arrow-batched mapInPandas "decode" returning typed image metadata. The
-    decode itself is a deterministic STUB (no image libs in this container,
-    SURVEY out-of-scope note) — the Spark-side schema/partitioning/batch
-    shape is the real, tested part; a real decoder drops into `fake_decode`."""
+    Arrow-batched "decode" returning typed image metadata. The decode itself
+    is a deterministic STUB (no image libs in this container, SURVEY
+    out-of-scope note) — the Spark-side schema/partitioning/batch shape is
+    the real, tested part; a real decoder drops into `fake_decode_batch`.
+
+    Round-6 (guide §4.2): mapInPandas → mapInArrow. The payload still
+    crosses the boundary as an Arrow binary batch (where a real decoder
+    consumes it), but the stub's metadata is computed straight off the
+    Arrow offsets/NumPy buffers — no per-row Python bytes objects, no
+    pandas block construction for megabytes of payload."""
     from typing import Iterator
 
-    import pandas as pd  # noqa: F811
+    import pyarrow as pa
     from pyspark.sql.types import (
         IntegerType, LongType, StructField, StructType,
     )
-    from pyspark.sql.types import StringType as _Str
 
     out_schema = StructType([
         StructField("doc_id", LongType()),
@@ -1450,27 +1537,38 @@ def q_multimodal_decode(spark, sf_dir):
         StructField("channels", IntegerType()),
     ])
 
-    def fake_decode_batch(payloads: "pd.Series") -> "pd.DataFrame":
+    def fake_decode_batch(payload: "pa.Array"):
         # Deterministic stand-in for a BATCH decoder (PIL/libav over the
-        # whole Arrow batch): vectorized length arithmetic, no per-row
-        # Python loop — the shape a real vectorized decoder drops into.
-        n = payloads.str.len().astype("int64")
-        return pd.DataFrame({
-            "n_bytes": n,
-            "width": (n % 640 + 1).astype("int32"),
-            "height": ((n * 7) % 480 + 1).astype("int32"),
-            "channels": pd.Series(3, index=n.index, dtype="int32"),
-        })
+        # whole Arrow batch): byte lengths come from the Arrow value
+        # buffers (guide §4.2 — binary columns are data + offsets; a
+        # length-only "decode" never touches the data bytes), then pure
+        # vectorized NumPy arithmetic.
+        import numpy as np
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            meta = fake_decode_batch(pdf["payload"])
-            meta.insert(0, "doc_id", pdf["doc_id"])
-            yield meta
+        n = pa.compute.binary_length(payload).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return (
+            pa.array(n, pa.int64()),
+            pa.array(n % 640 + 1, pa.int32()),
+            pa.array((n * 7) % 480 + 1, pa.int32()),
+            pa.array(np.full(len(n), 3, dtype="int32"), pa.int32()),
+        )
 
+    def decode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            n, w, h, c = fake_decode_batch(batch.column(1))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), n, w, h, c],
+                ["doc_id", "n_bytes", "width", "height", "channels"])
+
+    # NO _spread here: the stub's Python work is length-only, far cheaper
+    # than exchanging the payload bytes (measured: repartition-first cost
+    # 3.2 s vs 1.7 s serial at sf1.0 — the exchange's serial map side
+    # ships 50 MB to buy ~0.1 s of parallel Python). A real decoder whose
+    # per-byte compute dominates would want the spread back.
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))
-    return docs.mapInPandas(decode, out_schema)
+    return docs.mapInArrow(decode, out_schema)
 
 
 @register("multimodal_framesample", """

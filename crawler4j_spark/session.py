@@ -3,10 +3,68 @@
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "stop_spark"]
+
+
+def _warm_parquet_path(spark: SparkSession) -> None:
+    """One-time per-JVM warmup of the heavyweight lazily-initialized
+    execution paths (guide §4.5 "initialise heavyweight state once").
+
+    A fresh JVM/session pays multi-second one-off costs on the FIRST query
+    that touches each engine path, and that cost lands on whatever query a
+    caller happens to run first (guide §1: measure the query, not session
+    start-up):
+
+    * parquet write+read: datasource/codec class loading,
+      InMemoryFileIndex, the vectorized reader, codegen (~1-2 s);
+    * the Python/Arrow boundary: the Python worker DAEMON plus one worker
+      fork per core, each importing pyspark/pandas/pyarrow (~2 s with 32
+      cores — workers are reused afterwards, so this is purely front-load);
+    * broadcast-join machinery (driver-side relation build path).
+
+    Runs once per session (guarded by a runtime conf flag); disable with
+    SPARK_GRAFT_NO_WARMUP=1."""
+    flag = "spark.crawler4j.parquetWarmed"
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        return
+    try:
+        if spark.conf.get(flag, "") == "1":
+            return
+    except Exception:
+        pass
+    d = tempfile.mkdtemp(prefix="c4j-warm-")
+    try:
+        p = os.path.join(d, "w.parquet")
+        spark.range(2).selectExpr(
+            "id", "cast(id as string) s").write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).selectExpr("max(id)", "max(s)").collect()
+
+        # fork the per-core Python worker pool (reused by later queries)
+        from pyspark.sql import functions as F
+
+        cores = spark.sparkContext.defaultParallelism
+
+        def _touch(batches):
+            for b in batches:
+                yield b
+
+        (spark.range(cores * 4, numPartitions=cores)
+         .mapInArrow(_touch, "id long").selectExpr("count(1)").collect())
+
+        # broadcast hash-join build path
+        small = spark.range(4)
+        (spark.range(16).join(F.broadcast(small), "id").selectExpr(
+            "count(1)").collect())
+        spark.conf.set(flag, "1")
+    except Exception:
+        pass  # warmup is best-effort; never block session creation
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def get_spark(
@@ -48,7 +106,9 @@ def get_spark(
         k, _, v = kv.partition("=")
         if k.strip():
             b = b.config(k.strip(), v.strip())
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm_parquet_path(spark)
+    return spark
 
 
 def stop_spark() -> None:
