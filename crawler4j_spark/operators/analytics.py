@@ -1257,8 +1257,12 @@ def q_pii_scrub(spark, sf_dir):
     matches byte-for-byte). The synthetic corpus carries no PII, so both
     sides deterministically inject spans into every 3rd/5th document first —
     the oracle then verifies the scrub output exactly (md5 of the redacted
-    text), not just the counts."""
-    docs = _t(spark, sf_dir, "documents")
+    text), not just the counts.
+
+    _spread (guide §2.5): three regex passes + md5 over the full text are
+    the heavy part; the single-row-group input would otherwise run them
+    all in one task."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"), "doc_id")
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -2143,7 +2147,7 @@ def q_ann_ivf_assign(spark, sf_dir):
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("cv")))
     scored = (
-        emb.select("vec_id", "embedding")
+        _spread(spark, emb.select("vec_id", "embedding"), "vec_id")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "cent_id",
@@ -2191,7 +2195,7 @@ def q_ann_ivf_probe(spark, sf_dir):
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("cv")))
     scored = (
-        emb.select("vec_id", "embedding")
+        _spread(spark, emb.select("vec_id", "embedding"), "vec_id")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "cent_id", "embedding",
@@ -2268,7 +2272,7 @@ def q_ann_ivf_probe_multi(spark, sf_dir):
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("cv")))
     scored = (
-        emb.select("vec_id", "embedding")
+        _spread(spark, emb.select("vec_id", "embedding"), "vec_id")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "cent_id", "embedding",
@@ -2489,7 +2493,7 @@ def q_ann_kmeans_step(spark, sf_dir):
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("cv")))
     scored = (
-        emb.select("vec_id", "embedding")
+        _spread(spark, emb.select("vec_id", "embedding"), "vec_id")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "cent_id", "embedding",

@@ -935,12 +935,24 @@ class CrawlEngine:
             candidates = candidates.unionByName(redirect_cands)
 
         # --- round-local first-sight dedup then seen anti-join (J1) ---
-        from pyspark.sql import Window
-
-        w_first = Window.partitionBy("url").orderBy("process_seq", "within_order")
+        # First sighting per url = min over (process_seq, within_order) —
+        # unique per url within a round (within_order is unique per page,
+        # process_seq per parent; a redirect source has no outlinks), so a
+        # min(struct(...)) GROUP BY picks exactly the row the old
+        # row_number()-over-window form picked, but with map-side partial
+        # combine: duplicate discoveries (~half the candidate stream at
+        # bench fanout) collapse BEFORE the exchange instead of being
+        # shuffled and sorted in full (guide §2.3 "aggregate before you
+        # shuffle").
+        first_cols = ["process_seq", "within_order"] + [
+            c for c in candidates.columns
+            if c not in ("url", "process_seq", "within_order")]
         candidates = (
-            candidates.withColumn("rn", F.row_number().over(w_first))
-            .filter(F.col("rn") == 1).drop("rn")
+            candidates
+            .groupBy("url")
+            .agg(F.min(F.struct(*first_cols)).alias("_first"))
+            .select("url", "_first.*")
+            .select(*candidates.columns)  # restore original column order
         )
         candidates = with_bucket(candidates, "url", cfg.n_seen_buckets)
         # stage once: the candidate set feeds the bloom probe, the anti-join
