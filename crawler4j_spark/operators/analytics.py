@@ -319,8 +319,11 @@ def q_queue_length(spark, sf_dir):
 
 def _url_family(spark, sf_dir):
     """Deterministic raw URLs from part: uppercase host, unsorted query with
-    a session-id param, dot-segment path — all canonicalizer-relevant."""
-    return _t(spark, sf_dir, "part").select(
+    a session-id param, dot-segment path — all canonicalizer-relevant.
+    _spread (guide §2.5): the consumers run the canonicalize/domain pandas
+    UDF kernels, which otherwise execute in ONE Python worker on the
+    single-row-group input (noop-isolated: 3.5 s → parallel)."""
+    return _spread(spark, _t(spark, sf_dir, "part"), "p_partkey").select(
         "p_partkey",
         F.concat(
             F.lit("http://HOST"), (F.col("p_partkey") % 20).cast("string"),
@@ -398,7 +401,8 @@ def q_anchor_normalize(spark, sf_dir):
     def norm_udf(s: pd.Series) -> pd.Series:
         return s.map(normalize_anchor)
 
-    return _t(spark, sf_dir, "part").select(
+    # _spread: per-element kernel UDF over a single-row-group input
+    return _spread(spark, _t(spark, sf_dir, "part"), "p_partkey").select(
         "p_partkey",
         norm_udf(F.concat_ws(
             " ", "p_name", "p_name", "p_name", "p_name", "p_name"))
@@ -478,7 +482,8 @@ def q_robots_prefix_gate(spark, sf_dir):
         gen, spec = parse_robots(body, "crawler4j")
         return paths.map(lambda p: robots_allows(gen, spec, p))
 
-    paths = _t(spark, sf_dir, "part").select(
+    # _spread: per-element kernel UDF over a single-row-group input
+    paths = _spread(spark, _t(spark, sf_dir, "part"), "p_partkey").select(
         F.when(F.col("p_partkey") % 4 == 0,
                F.concat(F.lit("/private/"),
                         F.regexp_replace("p_name", " ", "-")))
@@ -1976,7 +1981,9 @@ def q_robots_cache_lookup(spark, sf_dir):
     plans/engine.py robots gate."""
     from ..functions.udfs import robots_allow_udf
 
-    fr = _frontier(spark, sf_dir)
+    # _spread: the per-row robots kernel UDF over the full frontier would
+    # otherwise run in the input file's 1-2 tasks (guide §2.5)
+    fr = _spread(spark, _frontier(spark, sf_dir), "docid")
     paths = fr.select(
         "host", "docid",
         F.when(F.col("docid") % 3 == 0,
