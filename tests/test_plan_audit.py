@@ -45,6 +45,11 @@ SINGLE_PARTITION_OK = {
     # receives exactly one row per upstream partition (bounded by P, not
     # by data volume) and emits the 1-row broadcast total
     "quality_perplexity_bucket",
+    # r6: the 8 hyperplanes are collect_list'd into ONE broadcast row
+    # (replacing the 8x crossJoin row blowup + groupBy(vec_id) exchange);
+    # the single partition receives at most 8 plane structs per upstream
+    # partition — bounded by the plane count, never by data volume
+    "ann_lsh_buckets",
 }
 
 
