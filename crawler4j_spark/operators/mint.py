@@ -58,8 +58,14 @@ def mint_docids(
         offsets[r["mint_bucket"]] = acc
         acc += r["count"]
     spark = fresh.sparkSession
+    # pandas input → Arrow → JVM LocalTableScan: a plain python-list
+    # createDataFrame routes every partition through a pickled python
+    # task (~0.2-0.3 s per consuming job — pure per-round fixed cost)
+    import pandas as pd
+
     off_df = spark.createDataFrame(
-        [(k, v) for k, v in offsets.items()] or [(0, 0)],
+        pd.DataFrame(list(offsets.items()) or [(0, 0)],
+                     columns=["mint_bucket", "bucket_offset"]),
         "mint_bucket int, bucket_offset long",
     )
     w = Window.partitionBy("mint_bucket").orderBy("process_seq", "within_order")
@@ -112,9 +118,12 @@ def ordered_rank(
         offsets[r["_ob"]] = acc
         acc += r["count"]
     spark = df.sparkSession
+    import pandas as pd
+
     off_df = spark.createDataFrame(
-        [(k, v) for k, v in offsets.items()] or [(0, 0)],
-        "_ob long, _off long")
+        pd.DataFrame(list(offsets.items()) or [(0, 0)],
+                     columns=["_ob", "_off"]),
+        "_ob long, _off long")  # pandas → Arrow path (see mint_docids)
     w = Window.partitionBy("_ob").orderBy(*order_cols)
     return (
         df.withColumn("_lr", F.row_number().over(w))
